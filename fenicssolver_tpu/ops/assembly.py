@@ -214,7 +214,7 @@ def coeff_at_qp(value, qpx, t=None, quad_pts=None, mesh=None):
         return float(value)
     if isinstance(value, Constant):
         v = value.value
-        return v if v.ndim == 0 else np.broadcast_to(v, (nb, nq) + v.shape)
+        return float(v) if v.ndim == 0 else np.broadcast_to(v, (nb, nq) + v.shape)
     if isinstance(value, Expression):
         flat = value.eval_at(qpx.reshape(-1, qpx.shape[-1]), t=t)
         return np.asarray(flat).reshape((nb, nq) + value.value_shape)

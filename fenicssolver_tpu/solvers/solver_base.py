@@ -1,0 +1,633 @@
+"""Shared solver base: settings schema, value translation, transient loop,
+algebraic solve dispatch.
+
+Mirrors the reference ``FenicsSolver/SolverBase.py:61-705`` API surface —
+the same JSON case-settings schema (``SolverBase.py:73-88``), the same
+``solve()/solve_transient()/solve_current_step()/translate_value()`` methods
+— rebuilt on the TPU-native assembly/solve stack.  Known reference defects
+listed in SURVEY.md §2.6 are fixed, not copied (e.g. ``get_time_step`` with a
+``time_series`` returned 0 at ``SolverBase.py:447``).
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import numbers
+import os.path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.expression import Constant, Expression
+from ..core.function import Function, interpolate
+from ..core.mesh import Mesh, MeshFunction
+from ..core.spaces import FunctionSpace, MixedFunctionSpace, VectorFunctionSpace
+from ..la import krylov
+from ..la.direct import DENSE_LIMIT, dense_solve
+from ..la.newton import newton_solve
+from ..ops import assembly
+
+try:  # py2-compat alias kept for settings files written for the reference
+    unicode  # type: ignore  # noqa: B018
+except NameError:
+    unicode = str
+
+
+class SolverError(Exception):
+    pass
+
+
+default_report_settings = {
+    "logging_level": logging.DEBUG,
+    "logging_file": None,
+    "plotting_freq": 10,
+    "plotting_interactive": True,
+    "plotting_file": None,
+    "saving_freq": 10,
+    "result_filename": None,
+}
+
+# directly mapped onto the Krylov/Newton drivers (reference: dolfin
+# solver.parameters, ``SolverBase.py:69-72``)
+default_solver_parameters = {
+    "relative_tolerance": 1e-5,
+    "maximum_iterations": 500,
+    "monitor_convergence": True,
+}
+
+default_case_settings = {
+    "solver_name": None,
+    "case_name": "test",
+    "case_folder": "./",
+    "case_file": None,
+    "mesh": None,
+    "fe_degree": 1,
+    "fe_family": "CG",
+    "function_space": None,
+    "periodic_boundary": None,
+    "boundary_conditions": None,
+    "body_source": None,
+    "surface_source": None,
+    "initial_values": {},
+    "material": {},
+    "solver_settings": {
+        "transient_settings": {
+            "transient": False,
+            "starting_time": 0,
+            "time_step": 0.01,
+            "ending_time": 0.03,
+        },
+        "reference_values": {},
+        "solver_parameters": default_solver_parameters,
+    },
+    "report_settings": default_report_settings,
+}
+
+
+class SolverBase:
+    """Base class for all physics solvers.
+
+    Derived classes implement ``generate_form()`` (returning an
+    ``ops.assembly.Form`` + ``DirichletData``) and ``solve_form()``
+    — the same contract as the reference (``SolverBase.py:92-93``) with the
+    UFL form replaced by residual kernels.
+    """
+
+    def __init__(self, case_input):
+        if not isinstance(case_input, dict):
+            raise SolverError("case setup data must be a python dict")
+        self.settings = case_input
+        self.degree_bump = 0  # subclasses may raise the space degree
+        self.load_settings(case_input)
+        self.parallel = False  # single-controller JAX; sharding via parallel/
+
+    def print(self):
+        import pprint
+
+        pprint.PrettyPrinter(indent=4).pprint(self.settings)
+
+    # ------------------------------------------------------------------
+    # settings / mesh / spaces
+    # ------------------------------------------------------------------
+    def load_settings(self, s):
+        if "periodic_boundary" not in s:
+            s["periodic_boundary"] = None
+        self.boundary_conditions = s.get("boundary_conditions") or {}
+        if s.get("mesh") is not None:
+            if isinstance(s["mesh"], (str, unicode)):
+                self.read_mesh(s["mesh"])
+            elif isinstance(s["mesh"], Mesh):
+                self.mesh = s["mesh"]
+                self.generate_boundary_facets()
+            else:
+                raise SolverError("mesh must be a file path or Mesh object")
+            s.setdefault("fe_family", "CG")
+            s.setdefault("fe_degree", 1)
+            self.generate_function_space(s["periodic_boundary"])
+        elif s.get("function_space") is not None:
+            self.function_space = s["function_space"]
+            s["fe_degree"] = self.function_space.degree - getattr(
+                self, "degree_bump", 0
+            )
+            s.setdefault("fe_family", "CG")
+            self.mesh = self.function_space.mesh
+            self.generate_boundary_facets()
+            self.is_mixed_function_space = isinstance(
+                self.function_space, MixedFunctionSpace
+            )
+        else:
+            raise SolverError(
+                "mesh or function space must be specified to construct solver"
+            )
+        self.dimension = self.mesh.gdim
+        self.topo_dimension = self.mesh.tdim
+
+        if not hasattr(self, "subdomains"):
+            self.subdomains = MeshFunction("size_t", self.mesh, self.mesh.tdim)
+
+        self.body_source = s.get("body_source") or None
+        self.initial_values = s.get("initial_values", {})
+        self.reference_values = s["solver_settings"].get("reference_values", {})
+        self.material = s.get("material", {})
+        self.solver_settings = s["solver_settings"]
+        self.transient_settings = s["solver_settings"]["transient_settings"]
+        self.transient = self.transient_settings["transient"]
+        if "report_settings" not in self.settings:
+            self.settings["report_settings"] = dict(default_report_settings)
+        self.report_settings = self.settings["report_settings"]
+        self.set_logger(self.report_settings)
+
+    def set_logger(self, s):
+        logger = logging.getLogger(self.__class__.__name__)
+        if not logger.handlers:
+            if s.get("logging_file"):
+                fh = logging.FileHandler(s["logging_file"])
+            else:
+                fh = logging.StreamHandler()
+            fh.setLevel(s.get("logging_level", logging.DEBUG))
+            fh.setFormatter(
+                logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+            )
+            logger.addHandler(fh)
+        logger.setLevel(s.get("logging_level", logging.DEBUG))
+        self.logger = logger
+
+    def read_mesh(self, filename):
+        if not os.path.exists(filename):
+            raise SolverError(f"mesh file: {filename} does not exist")
+        if filename.endswith(".xml"):
+            self._read_xml_mesh(filename)
+        elif filename.endswith((".h5", ".hdf5")):
+            self._read_hdf5_mesh(filename)
+        elif filename.endswith(".xdmf"):
+            self.mesh = Mesh(filename=filename)
+            self.subdomains = MeshFunction("size_t", self.mesh, self.mesh.tdim)
+            self.generate_boundary_facets()
+        else:
+            raise SolverError(f"unsupported mesh format: {filename}")
+
+    def _read_xml_mesh(self, filename):
+        """dolfin XML + facet/physical region sidecars (SolverBase.py:223-238)."""
+        self.mesh = Mesh(filename=filename)
+        bmeshfile = filename[:-4] + "_facet_region.xml"
+        if os.path.exists(bmeshfile):
+            self.boundary_facets = MeshFunction("size_t", self.mesh, bmeshfile)
+        else:
+            self.generate_boundary_facets()
+        subdomain_file = filename[:-4] + "_physical_region.xml"
+        if os.path.exists(subdomain_file):
+            self.subdomains = MeshFunction("size_t", self.mesh, subdomain_file)
+        else:
+            self.subdomains = MeshFunction("size_t", self.mesh, self.mesh.tdim)
+
+    def _read_hdf5_mesh(self, filename):
+        from ..io import meshio
+
+        coords, cells, sub, bnd = meshio.read_hdf5(filename)
+        self.mesh = Mesh(coords, cells)
+        self.subdomains = MeshFunction("size_t", self.mesh, self.mesh.tdim)
+        if sub is not None:
+            self.subdomains.values[:] = sub
+        if bnd is not None:
+            self.boundary_facets = MeshFunction(
+                "size_t", self.mesh, self.mesh.tdim - 1
+            )
+            self.boundary_facets.values[:] = bnd
+        else:
+            self.generate_boundary_facets()
+
+    def generate_function_space(self, periodic_boundary=None):
+        self.is_mixed_function_space = False
+        deg = self.settings["fe_degree"] + getattr(self, "degree_bump", 0)
+        fam = self.settings["fe_family"]
+        if "scalar_name" in self.settings:
+            self.function_space = FunctionSpace(
+                self.mesh, fam, deg, constrained_domain=periodic_boundary
+            )
+        elif "vector_name" in self.settings:
+            self.function_space = VectorFunctionSpace(
+                self.mesh, fam, deg, constrained_domain=periodic_boundary
+            )
+        else:
+            raise SolverError(
+                "only scalar or vector solvers use the base generate_function_space"
+            )
+
+    def generate_boundary_facets(self):
+        """Mark boundary facets from the SubDomain objects in the settings
+        (reference ``SolverBase.py:277-283``)."""
+        boundary_facets = MeshFunction("size_t", self.mesh, self.mesh.tdim - 1)
+        boundary_facets.set_all(0)
+        for name, bc in (self.boundary_conditions or {}).items():
+            if "boundary" in bc and bc["boundary"] is not None:
+                bc["boundary"].mark(boundary_facets, bc["boundary_id"])
+        self.boundary_facets = boundary_facets
+
+    def boundary_facet_ids(self, boundary_id):
+        """Exterior facet indices carrying a marker (used by BC assembly)."""
+        fids = self.boundary_facets.where_equal(boundary_id)
+        ext = self.mesh.exterior_facet_mask()
+        return fids[ext[fids]].astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # value translation (reference ``SolverBase.py:326-393``)
+    # ------------------------------------------------------------------
+    def get_material_value(self, value):
+        if (
+            isinstance(value, (list, tuple, np.ndarray))
+            and len(value) == self.dimension
+            and hasattr(value[0], "__len__")
+            and len(value[0]) == self.dimension
+        ):
+            return np.asarray(value, dtype=np.float64)  # anisotropic tensor
+        if isinstance(value, dict):
+            return value  # per-subdomain: resolved by the physics solver
+        return value
+
+    def translate_value(self, value, function_space=None):
+        """Translate JSON-able values into evaluable coefficients.
+
+        numbers -> float; str -> Expression (or restart file); tuple of
+        numbers -> Constant vector; callable -> called with current time when
+        transient (reference semantics, ``SolverBase.py:349-393``).
+        """
+        W = function_space or self.function_space
+        if isinstance(value, (tuple, list, np.ndarray)):
+            if len(value) and isinstance(value[0], numbers.Number):
+                return Constant(tuple(float(v) for v in value))
+            if len(value) and isinstance(value[0], str):
+                return Expression(tuple(value), degree=self.settings["fe_degree"])
+            if self.transient_settings["transient"] and len(value) > self.dimension:
+                return value[self.current_step]
+            raise SolverError(f"cannot translate sequence value: {value!r}")
+        if isinstance(value, numbers.Number):
+            return float(value)
+        if isinstance(value, (Constant, Function, Expression)):
+            return value
+        if callable(value) and self.transient_settings["transient"]:
+            return self.translate_value(value(self.get_current_time()))
+        if isinstance(value, str):
+            if os.path.exists(value):
+                from ..ops.pointlocate import interpolate_nonmatching_mesh
+
+                loaded = Function(W, value)
+                return loaded  # already on W (checkpoint load handles mapping)
+            return Expression(value, degree=self.settings["fe_degree"])
+        if value is None:
+            raise TypeError("None type supplied as value to be translated")
+        return value
+
+    def get_variable_name(self):
+        if "scalar_name" in self.settings:
+            return self.settings["scalar_name"]
+        if "vector_name" in self.settings:
+            return self.settings["vector_name"]
+        return "unknown"
+
+    def get_boundary_variable(self, bc, variable=None):
+        variable = variable or self.get_variable_name()
+        bvariable = bc
+        if "values" in bc:
+            if isinstance(bc["values"], dict) and variable in bc["values"]:
+                bvariable = bc["values"][variable]
+            if isinstance(bc["values"], list):
+                for vbc in bc["values"]:
+                    if vbc.get("variable") == variable:
+                        bvariable = vbc
+        return bvariable
+
+    def get_body_source(self):
+        if isinstance(self.body_source, dict):
+            vdict = copy.deepcopy(self.body_source)
+            for k in vdict:
+                vdict[k]["value"] = self.translate_value(self.body_source[k]["value"])
+            return vdict
+        if self.body_source is not None:
+            return self.translate_value(self.body_source)
+        return None
+
+    # ------------------------------------------------------------------
+    # initial field / time stepping
+    # ------------------------------------------------------------------
+    def get_initial_field(self):
+        if not self.initial_values:
+            return Function(self.function_space)
+        if self.is_mixed_function_space:
+            u0 = Function(self.function_space)
+            W = self.function_space
+            names = self.settings.get("mixed_variable", ())
+            for i, nm in enumerate(names):
+                if nm in self.initial_values:
+                    sub = W.subspaces[i]
+                    v0 = self.initial_values[nm]
+                    u0.set_sub(i, interpolate(self._as_interp(v0), sub).values)
+            return u0
+        name = self.get_variable_name()
+        v0 = self.initial_values.get(name, 0)
+        if isinstance(v0, Function):
+            if v0.space.ndof == self.function_space.ndof:
+                return Function(v0)
+            from ..ops.pointlocate import interpolate_nonmatching_mesh
+
+            return interpolate_nonmatching_mesh(v0, self.function_space)
+        if isinstance(v0, str) and os.path.exists(v0):
+            return Function(self.function_space, v0)
+        return interpolate(self._as_interp(v0), self.function_space)
+
+    def _as_interp(self, v0):
+        if isinstance(v0, (str,)) and not os.path.exists(v0):
+            return Expression(v0, degree=self.settings["fe_degree"])
+        if isinstance(v0, (tuple, list)) and len(v0) and isinstance(v0[0], str):
+            return Expression(tuple(v0), degree=self.settings["fe_degree"])
+        return v0
+
+    def get_time_step(self, time_iter_):
+        ts = self.transient_settings
+        if "time_step" in ts and ts["time_step"] is not None:
+            try:
+                return float(ts["time_step"])
+            except (TypeError, ValueError):
+                pass
+        series = ts.get("time_series")
+        if series is not None and len(series) > time_iter_ + 1:
+            # fixed vs reference defect SolverBase.py:447 (dt was always 0)
+            return float(series[time_iter_ + 1] - series[time_iter_])
+        raise SolverError("time step must be a scalar or a time_series sequence")
+
+    def get_current_time(self, time_iter_=None):
+        if time_iter_ is None:
+            time_iter_ = getattr(self, "current_step", 0)
+        ts = self.transient_settings
+        series = ts.get("time_series")
+        if series is not None and len(series) > time_iter_:
+            return float(series[time_iter_])
+        dt = float(ts.get("time_step", 0.0) or 0.0)
+        return float(ts.get("starting_time", 0.0)) + dt * time_iter_
+
+    def get_acceleration(self, time_iter_):
+        """2nd-order acceleration from history (fixes SolverBase.py:482's
+        inverted final division)."""
+        assert time_iter_ >= 1
+        dt = self.get_time_step(time_iter_)
+        dt_prev = self.get_time_step(max(time_iter_ - 1, 0))
+        vel = (self.w_current.values - self.w_prev.values) / dt
+        vel_prev = (self.w_prev.values - self.w_pp.values) / dt_prev
+        return (vel - vel_prev) / dt
+
+    # ------------------------------------------------------------------
+    # the transient loop (reference ``SolverBase.py:492-542``)
+    # ------------------------------------------------------------------
+    def init_solver(self):
+        self.trial_function = None  # placeholders: forms are numeric kernels
+        self.test_function = None
+        self.w_current = self.get_initial_field()
+        self.w_prev = Function(self.function_space)
+        self.w_prev.assign(self.w_current)
+        self.w_pp = Function(self.function_space)
+        self.w_pp.assign(self.w_current)
+
+    def solve_current_step(self):
+        F, Dirichlet_bcs = self.generate_form(
+            self.current_step,
+            self.trial_function,
+            self.test_function,
+            self.w_current,
+            self.w_prev,
+        )
+        self.w_pp.assign(self.w_prev)
+        self.w_prev.assign(self.w_current)
+        self.w_current = self.solve_form(F, self.w_current, Dirichlet_bcs)
+        self.result = self.w_current
+
+    def solve_transient(self):
+        import time as _time
+
+        self.init_solver()
+        ts = self.transient_settings
+        self.current_time = ts.get("starting_time", 0.0)
+        self.current_step = 0
+        t_end = ts["ending_time"] if ts["transient"] else self.current_time + 1
+
+        sf = self.report_settings.get("saving_freq")
+        result_filename = (
+            self.report_settings.get("result_filename") or "result_file.pvd"
+        )
+        t0 = _time.perf_counter()
+        while self.current_time < t_end:
+            dt = self.get_time_step(self.current_step) if ts["transient"] else 1.0
+            self.solve_current_step()
+            elapsed = _time.perf_counter() - t0
+            self.logger.info(
+                "Current step = %d time = %g elapsed = %.3fs",
+                self.current_step,
+                self.current_time + (dt if ts["transient"] else 0.0),
+                elapsed,
+            )
+            pf = self.report_settings.get("plotting_freq")
+            if pf and pf > 0 and self.current_step > 0 and self.current_step % pf == 0:
+                if self.report_settings.get("plotting_interactive"):
+                    self.plot()
+            if sf and sf > 0 and self.current_step > 0 and self.current_step % sf == 0:
+                self.save(result_filename)
+            if not ts["transient"]:
+                break
+            self.current_step += 1
+            self.current_time += dt
+        return self.w_current
+
+    def solve(self):
+        self.result = self.solve_transient()
+        return self.result
+
+    # ------------------------------------------------------------------
+    # output
+    # ------------------------------------------------------------------
+    def plot(self):
+        try:
+            from ..utils import plotting
+
+            plotting.plot(self.result)
+            if self.report_settings.get("plotting_interactive"):
+                import matplotlib.pyplot as plt
+
+                plt.show()
+        except Exception as e:  # plotting never fails a solve
+            self.logger.warning("plotting skipped: %s", e)
+
+    def save(self, result_filename):
+        from ..io.meshio import PVDFile
+
+        t = getattr(self, "current_time", 0.0)
+        if not self.is_mixed_function_space:
+            stream = getattr(self, "_result_stream", None)
+            if stream is None or stream.filename != result_filename:
+                self._result_stream = PVDFile(result_filename)
+            self._result_stream.write(self.w_current, t)
+        else:
+            assert result_filename.endswith(".pvd")
+            root = result_filename[:-4]
+            parts = self.result.split()
+            names = self.settings.get(
+                "mixed_variable", [f"var{i}" for i in range(len(parts))]
+            )
+            self._result_streams = getattr(self, "_result_streams", {})
+            for var, name in zip(parts, names):
+                var.rename(name)
+                fn = f"{root}_{name}.pvd"
+                if fn not in self._result_streams:
+                    self._result_streams[fn] = PVDFile(fn)
+                self._result_streams[fn].write(var, t)
+
+    # ------------------------------------------------------------------
+    # algebraic solve dispatch (reference ``SolverBase.py:592-672``)
+    # ------------------------------------------------------------------
+    def _solver_params(self):
+        sp = dict(default_solver_parameters)
+        sp.update(self.solver_settings.get("solver_parameters", {}))
+        return sp
+
+    def solve_static(self, A, b, dirichlet, x0=None, spd=True):
+        """Solve A u = b with Dirichlet data applied symmetrically.
+
+        Small systems use a dense LU (the reference's default PETSc LU path,
+        ``SolverBase.py:603``); larger SPD systems use Jacobi-PCG, others
+        BiCGStab/GMRES.
+        """
+        sp = self._solver_params()
+        n = A.pattern.n
+        if dirichlet is not None and dirichlet.any:
+            free, ubc = dirichlet.free_mask, dirichlet.u_bc
+        else:
+            free = jnp.ones(n, dtype=b.dtype)
+            ubc = jnp.zeros_like(b)
+        rhs = assembly.constrained_rhs(A.matvec, b, free, ubc)
+        if n <= DENSE_LIMIT:
+            Ac = assembly.constrain_csr(A, free)
+            return dense_solve(Ac, rhs)
+        op = assembly.constrained_operator(A.matvec, free)
+        diag = free * A.diagonal() + (1.0 - free)
+        M = krylov.jacobi_preconditioner(diag)
+        tol = sp.get("relative_tolerance", 1e-8)
+        maxiter = sp.get("maximum_iterations", 500) * 10
+        if spd:
+            x, it, res = krylov.cg(op, rhs, x0=x0, M=M, tol=tol, maxiter=maxiter)
+        else:
+            x, it, res = krylov.bicgstab(op, rhs, x0=x0, M=M, tol=tol, maxiter=maxiter)
+            bad = (jnp.asarray(res) > tol * 10) | ~jnp.isfinite(jnp.asarray(res))
+            if bool(bad):
+                x, it, res = krylov.gmres(
+                    op, rhs, x0=x0, M=M, tol=tol, restart=80, maxiter=maxiter // 10
+                )
+        if sp.get("monitor_convergence"):
+            self.logger.info(
+                "Krylov solve: %s iters, rel residual %.3e", int(it), float(res)
+            )
+        return x
+
+    def solve_linear_problem(self, form, u, dirichlet, spd=True):
+        A, b = assembly.assemble_linear_system(form, dtype=u.values.dtype)
+        x = self.solve_static(A, b, dirichlet, x0=jnp.asarray(u.values), spd=spd)
+        u.values = np.asarray(x)
+        return u
+
+    def solve_nonlinear_problem(self, form, u_current, dirichlet, spd=False):
+        """Newton with autodiff Jacobian (reference ``SolverBase.py:615-626``)."""
+        sp = self._solver_params()
+        free = dirichlet.free_mask if dirichlet and dirichlet.any else None
+        ubc = dirichlet.u_bc if dirichlet and dirichlet.any else None
+
+        def residual(u):
+            R = assembly.assemble_residual(form, u)
+            if free is not None:
+                R = assembly.constrain_residual(R, u, free, ubc)
+            return R
+
+        def jacobian(u):
+            return assembly.assemble_jacobian(form, u)
+
+        def lin_solve(J, rhs):
+            n = J.pattern.n
+            fm = free if free is not None else jnp.ones(n, dtype=rhs.dtype)
+            # rhs already contains constrained residual rows; zero them so the
+            # Newton update leaves Dirichlet dofs exactly at their values
+            if n <= DENSE_LIMIT:
+                Jc = assembly.constrain_csr(J, fm)
+                return dense_solve(Jc, rhs)
+            op = assembly.constrained_operator(J.matvec, fm)
+            diag = fm * J.diagonal() + (1.0 - fm)
+            M = krylov.jacobi_preconditioner(diag)
+            if spd:
+                x, it, res = krylov.cg(op, fm * rhs + (1 - fm) * rhs, M=M,
+                                       tol=1e-10, maxiter=5000)
+            else:
+                x, it, res = krylov.gmres(op, rhs, M=M, tol=1e-10, restart=80,
+                                          maxiter=200)
+            return x
+
+        u0 = jnp.asarray(u_current.values)
+        # start from a state satisfying the Dirichlet constraints
+        if free is not None:
+            u0 = free * u0 + (1 - free) * ubc
+        x, its, conv = newton_solve(
+            residual,
+            jacobian,
+            lin_solve,
+            u0,
+            rtol=sp.get("relative_tolerance", 1e-9),
+            atol=1e-10,
+            maxiter=sp.get("maximum_iterations", 50),
+            logger=self.logger if sp.get("monitor_convergence") else None,
+        )
+        u_current.values = np.asarray(x)
+        return u_current
+
+    def solve_amg(self, form, u, dirichlet):
+        """AMG path (reference ``SolverBase.py:643-672``): currently a
+        Chebyshev-Jacobi preconditioned CG with the same call surface; a
+        smoothed-aggregation AMG is the planned upgrade (SURVEY.md §7.3)."""
+        A, b = assembly.assemble_linear_system(form, dtype=u.values.dtype)
+        free = dirichlet.free_mask if dirichlet and dirichlet.any else jnp.ones_like(b)
+        ubc = dirichlet.u_bc if dirichlet and dirichlet.any else jnp.zeros_like(b)
+        rhs = assembly.constrained_rhs(A.matvec, b, free, ubc)
+        op = assembly.constrained_operator(A.matvec, free)
+        diag = free * A.diagonal() + (1.0 - free)
+        M = krylov.chebyshev_preconditioner(op, diag, degree=5)
+        sp = self._solver_params()
+        x, it, res = krylov.cg(
+            op, rhs, M=M, tol=sp.get("relative_tolerance", 1e-8), maxiter=10000
+        )
+        if sp.get("monitor_convergence"):
+            self.logger.info("AMG-CG: %d iters, rel res %.3e", int(it), float(res))
+        u.values = np.asarray(x)
+        return u
+
+    # hooks implemented by physics solvers -----------------------------------
+    def generate_form(self, time_iter_, trial, test, w_current, w_prev):
+        raise NotImplementedError
+
+    def solve_form(self, F, u, bcs):
+        raise NotImplementedError
+
+    def get_flux(self, value):
+        return value

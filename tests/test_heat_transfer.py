@@ -1,0 +1,312 @@
+"""End-to-end scalar transport tests (reference parity:
+``examples/test_heat_transfer.py``, ``data/TestHeatTransfer.json``)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE_DATA, reference_data_available
+
+from fenicssolver_tpu.core import (
+    AutoSubDomain,
+    Constant,
+    Expression,
+    FunctionSpace,
+    UnitSquareMesh,
+    near,
+)
+from fenicssolver_tpu.solvers.scalar_transport import ScalarTransportSolver
+
+T_hot, T_cold, T_ambient = 360.0, 300.0, 300.0
+conductivity = 0.6
+heat_flux = (T_hot - T_cold) / 1.0 * conductivity
+
+
+def base_settings(Q, bcs):
+    return {
+        "solver_name": "ScalarTransportSolver",
+        "mesh": None,
+        "function_space": Q,
+        "boundary_conditions": bcs,
+        "initial_values": {"temperature": T_ambient},
+        "material": {
+            "density": 1000,
+            "specific_heat_capacity": 4200,
+            "thermal_conductivity": conductivity,
+        },
+        "solver_settings": {
+            "transient_settings": {
+                "transient": False,
+                "starting_time": 0,
+                "time_step": 0.1,
+                "ending_time": 1,
+            },
+            "reference_values": {"temperature": T_ambient},
+            "solver_parameters": {
+                "relative_tolerance": 1e-12,
+                "maximum_iterations": 500,
+                "monitor_convergence": False,
+            },
+        },
+        "report_settings": {
+            "plotting_freq": 0,
+            "saving_freq": 0,
+            "plotting_interactive": False,
+            "logging_level": 40,
+        },
+        "scalar_name": "temperature",
+    }
+
+
+def make_bcs():
+    top = AutoSubDomain(lambda x: near(x[1], 1.0))
+    bottom = AutoSubDomain(lambda x: near(x[1], 0.0))
+    left = AutoSubDomain(lambda x: near(x[0], 0.0))
+    return {
+        "hot": {
+            "boundary": top,
+            "boundary_id": 1,
+            "values": {
+                "temperature": {
+                    "variable": "temperature",
+                    "type": "Dirichlet",
+                    "value": Constant(T_hot),
+                }
+            },
+        },
+        "cold": {
+            "boundary": bottom,
+            "boundary_id": 2,
+            "values": {
+                "temperature": {
+                    "variable": "temperature",
+                    "type": "Dirichlet",
+                    "value": Constant(T_cold),
+                }
+            },
+        },
+        "left": {
+            "boundary": left,
+            "boundary_id": 3,
+            "values": {
+                "temperature": {
+                    "variable": "temperature",
+                    "type": "heatFlux",
+                    "value": Constant(0),
+                }
+            },
+        },
+    }
+
+
+def test_steady_conduction_matches_analytic():
+    """1D conduction through unit square: T linear in y, flux = k dT/dy."""
+    mesh = UnitSquareMesh(16, 16)
+    Q = FunctionSpace(mesh, "CG", 1)
+    settings = base_settings(Q, make_bcs())
+    solver = ScalarTransportSolver(settings)
+    solver.material["conductivity"] = conductivity
+    T = solver.solve()
+    y = Q.dof_coords[:, 1]
+    T_exact = T_cold + (T_hot - T_cold) * y
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 1e-10, err
+
+
+def test_heat_flux_boundary():
+    """Flux BC on bottom + Dirichlet top reproduces the linear profile."""
+    mesh = UnitSquareMesh(12, 12)
+    Q = FunctionSpace(mesh, "CG", 1)
+    bcs = make_bcs()
+    bcs["cold"]["values"]["temperature"] = {
+        "variable": "temperature",
+        "type": "heatFlux",
+        "value": Constant(heat_flux),  # into the domain at the cold side
+    }
+    settings = base_settings(Q, bcs)
+    solver = ScalarTransportSolver(settings)
+    solver.material["conductivity"] = conductivity
+    T = solver.solve()
+    # positive flux g adds heat at the bottom: k dT/dn = g with n=(0,-1)
+    # -> dT/dy = -g/k, T(1)=T_hot  =>  T = T_hot + (g/k)(1-y)
+    y = Q.dof_coords[:, 1]
+    T_exact = T_hot + heat_flux / conductivity * (1 - y)
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 1e-9, err
+
+
+def test_htc_boundary():
+    """HTC (Robin) boundary: htc*(Ta - T) at the bottom."""
+    mesh = UnitSquareMesh(12, 12)
+    Q = FunctionSpace(mesh, "CG", 1)
+    htc = 100.0
+    bcs = make_bcs()
+    bcs["hot"]["values"]["temperature"] = {
+        "variable": "temperature",
+        "type": "heatFlux",
+        "value": Constant(heat_flux),
+    }
+    bcs["cold"]["values"]["temperature"] = {
+        "variable": "temperature",
+        "type": "HTC",
+        "value": Constant(htc),
+        "ambient": Constant(T_ambient),
+    }
+    settings = base_settings(Q, bcs)
+    solver = ScalarTransportSolver(settings)
+    solver.material["conductivity"] = conductivity
+    T = solver.solve()
+    # analytic: steady flux q through the slab; at bottom: q = htc (T(0)-Ta)
+    y = Q.dof_coords[:, 1]
+    T0 = T_ambient + heat_flux / htc
+    T_exact = T0 + heat_flux / conductivity * y
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 1e-9, err
+
+
+def test_anisotropic_tensor_conductivity_runs():
+    mesh = UnitSquareMesh(8, 8)
+    Q = FunctionSpace(mesh, "CG", 1)
+    settings = base_settings(Q, make_bcs())
+    solver = ScalarTransportSolver(settings)
+    solver.material["conductivity"] = ((0.6, 0.0), (0.0, 0.06))
+    T = solver.solve()
+    assert np.isfinite(T.values).all()
+    # pure y-conduction: only K[1,1] matters for the linear profile
+    y = Q.dof_coords[:, 1]
+    T_exact = T_cold + (T_hot - T_cold) * y
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 1e-9, err
+
+
+def test_convective_velocity_supg():
+    """1D advection-diffusion vs the exact exponential profile.
+
+    v = (0, -vy), capacity 1:  cap*vy*T' = k*T''  ->  T = A + B exp(vy*y/k).
+    """
+    mesh = UnitSquareMesh(12, 12)
+    Q = FunctionSpace(mesh, "CG", 1)
+    settings = base_settings(Q, make_bcs())
+    settings["material"] = {"capacity": 1.0, "conductivity": conductivity}
+    vy = -0.6  # grid Peclet ~ 0.08: resolvable
+    settings["convective_velocity"] = Constant((0.0, vy))
+    settings["advection_settings"] = {"stabilization_method": "SPUG", "Pe": 1.0}
+    solver = ScalarTransportSolver(settings)
+    T = solver.solve()
+    assert np.isfinite(T.values).all()
+    y = Q.dof_coords[:, 1]
+    lam = vy / conductivity
+    B = (T_hot - T_cold) / (np.exp(lam) - 1.0)
+    T_exact = T_cold + B * (np.exp(lam * y) - 1.0)
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 1e-3, err
+
+
+def test_nonlinear_conductivity_newton():
+    """Callable conductivity k(T) solved by Newton (autodiff Jacobian)."""
+    mesh = UnitSquareMesh(10, 10)
+    Q = FunctionSpace(mesh, "CG", 1)
+    settings = base_settings(Q, make_bcs())
+    solver = ScalarTransportSolver(settings)
+    import jax.numpy as jnp
+
+    solver.material["conductivity"] = lambda T: 0.6 * (1 + 0.001 * (T - 300.0))
+    T = solver.solve()
+    assert np.isfinite(T.values).all()
+    # exact solution of (k0(1+a(T-300)) T')' = 0 with T(0)=300, T(1)=360:
+    # flux q const: k0 (1 + a(T-300)) dT/dy = q
+    # integrate: (T-300) + a/2 (T-300)^2 = q/k0 * y
+    y = Q.dof_coords[:, 1]
+    a = 0.001
+    dT = 60.0
+    q_k0 = dT + a / 2 * dT**2
+    u = q_k0 * y
+    T_exact = 300 + (-1 + np.sqrt(1 + 2 * a * u)) / a
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 2e-5, err
+
+
+def test_radiation_newton():
+    """Stefan-Boltzmann radiation on all exterior facets (nonlinear)."""
+    mesh = UnitSquareMesh(8, 8)
+    Q = FunctionSpace(mesh, "CG", 1)
+    settings = base_settings(Q, make_bcs())
+    settings["radiation_settings"] = {
+        "ambient_temperature": T_ambient - 20,
+        "emissivity": 0.9,
+    }
+    solver = ScalarTransportSolver(settings)
+    solver.material["conductivity"] = conductivity
+    solver.material["emissivity"] = 0.9
+    T = solver.solve()
+    assert np.isfinite(T.values).all()
+    # radiation cools: average temperature below the pure-conduction mean
+    assert T.values.mean() < (T_hot + T_cold) / 2
+
+
+def test_transient_crank_nicolson():
+    """Transient slab heating approaches the steady profile."""
+    mesh = UnitSquareMesh(10, 10)
+    Q = FunctionSpace(mesh, "CG", 1)
+    settings = base_settings(Q, make_bcs())
+    # light material so diffusion is fast: alpha = k/(rho cp) = 1
+    settings["material"] = {
+        "density": 1.0,
+        "specific_heat_capacity": 1.0,
+        "thermal_conductivity": 1.0,
+    }
+    settings["solver_settings"]["transient_settings"] = {
+        "transient": True,
+        "starting_time": 0,
+        "time_step": 0.05,
+        "ending_time": 3.0,
+    }
+    solver = ScalarTransportSolver(settings)
+    T = solver.solve()
+    y = Q.dof_coords[:, 1]
+    T_exact = T_cold + (T_hot - T_cold) * y
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    # residual is CN ringing of the discontinuous initial condition
+    assert err < 5e-5, err
+
+
+def test_per_subdomain_body_source():
+    mesh = UnitSquareMesh(8, 8)
+    Q = FunctionSpace(mesh, "CG", 1)
+    settings = base_settings(Q, make_bcs())
+    settings["body_source"] = 100.0
+    solver = ScalarTransportSolver(settings)
+    solver.material["conductivity"] = conductivity
+    T = solver.solve()
+    assert np.isfinite(T.values).all()
+    # source raises interior temperature above pure conduction
+    y = Q.dof_coords[:, 1]
+    T_lin = T_cold + (T_hot - T_cold) * y
+    assert (T.values - T_lin).mean() > 0
+
+
+@pytest.mark.skipif(
+    not reference_data_available(), reason="reference data not mounted"
+)
+def test_reference_json_case():
+    """The canonical bundled case: data/TestHeatTransfer.json + mesh.xml.
+
+    Box 10 x 5 x 20 with T=350 at z=0 (id 1), T=300 at z=20 (id 2):
+    analytic solution is linear in z."""
+    from fenicssolver_tpu.main import load_settings, main
+
+    settings = load_settings(os.path.join(REFERENCE_DATA, "TestHeatTransfer.json"))
+    settings["report_settings"] = {
+        "plotting_freq": 0,
+        "saving_freq": 0,
+        "plotting_interactive": False,
+        "logging_level": 40,
+    }
+    settings["solver_settings"]["solver_parameters"]["relative_tolerance"] = 1e-12
+    solver = main(settings)
+    T = solver.result
+    coords = solver.function_space.dof_coords
+    T_exact = 350 - 50 * coords[:, 2] / 20
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 1e-8, err
