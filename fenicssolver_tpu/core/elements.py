@@ -66,6 +66,19 @@ def quadrature(tdim, degree):
             )
             w = np.array([0.225] + [w1] * 3 + [w2] * 3) * 0.5
             return p, w
+        if degree <= 6:  # Dunavant 12-point
+            a1, w1 = 0.063089014491502, 0.050844906370207
+            a2, w2 = 0.249286745170910, 0.116786275726379
+            b, c = 0.310352451033785, 0.053145049844816
+            w3 = 0.082851075618374
+            pts = [
+                [a1, a1], [1 - 2 * a1, a1], [a1, 1 - 2 * a1],
+                [a2, a2], [1 - 2 * a2, a2], [a2, 1 - 2 * a2],
+                [b, c], [c, b], [1 - b - c, b],
+                [b, 1 - b - c], [1 - b - c, c], [c, 1 - b - c],
+            ]
+            w = np.array([w1] * 3 + [w2] * 3 + [w3] * 6) * 0.5
+            return np.array(pts), w
         # Duffy-collapsed tensor Gauss fallback (any degree)
         n = degree + 1
         u, wu = _gauss01(n)
@@ -93,6 +106,23 @@ def quadrature(tdim, degree):
             )
             w = np.array([-4 / 5, 9 / 20, 9 / 20, 9 / 20, 9 / 20]) / 6.0
             return p, w
+        if degree <= 4:  # Keast 14-point
+            a1, b1, w1 = 0.0673422422100983, 0.3108859192633005, 0.1126879257180162
+            a2, b2, w2 = 0.7217942490673264, 0.0927352503108912, 0.0734930431163619
+            c, d, w3 = 0.4544962958743506, 0.0455037041256494, 0.0425460207770812
+
+            def perm4(a, b):
+                return [[a, b, b], [b, a, b], [b, b, a], [b, b, b]]
+
+            def perm6(c, d):
+                return [
+                    [c, c, d], [c, d, c], [d, c, c],
+                    [d, d, c], [d, c, d], [c, d, d],
+                ]
+
+            pts = perm4(a1, b1) + perm4(a2, b2) + perm6(c, d)
+            w = np.array([w1] * 4 + [w2] * 4 + [w3] * 6) / 6.0
+            return np.array(pts), w
         # Duffy-collapsed tensor Gauss fallback
         n = degree + 1
         u, wu = _gauss01(n)

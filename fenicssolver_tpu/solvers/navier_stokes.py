@@ -1,0 +1,734 @@
+"""Incompressible laminar Navier-Stokes on a monolithic mixed Taylor-Hood
+space, optionally coupled with temperature.
+
+Mirrors ``FenicsSolver/CoupledNavierStokesSolver.py``: velocity degree =
+``fe_degree + 1`` over pressure (``:84-101``), momentum+continuity form
+divided by rho (``:288-332``), advection ``(grad u) . u`` (``:332``),
+default-gravity body force (``:118-127``), backward-Euler transient
+(``:367-381``), ALE reference frame (mesh velocity subtracted from advection,
+``:321-329``), G2 stabilization (``:339-363``), velocity
+Dirichlet/symmetry/farfield and pressure Dirichlet (with the consistent
+``p n . v`` and viscous boundary terms "very important to make sure
+convergence", ``:449-452``) / symmetry / farfield boundaries (``:383-490``),
+Newton via residual autodiff (the ``action``/``derivative`` pair ``:241-243``)
+or a Picard loop with 0.7 under-relaxation (``:492-528``), non-Newtonian
+viscosity nu(p, T) (``:194-213``), and the post-processing surface:
+``viscous_stress`` / ``boundary_traction`` / ``calc_drag_and_lift`` /
+``viscous_heat`` (``:149-192``, with the reference's bugs fixed — it used
+kinematic viscosity in the stress and an undefined ``self.ds``).
+
+The optional temperature sub-form is built directly into the mixed residual
+(advection-diffusion with the traced velocity) rather than by instantiating a
+ScalarTransportSolver on a subspace (reference ``:247-286``): with numeric
+kernels the coupling is one extra block in the same element residual, and
+Newton linearizes the full u-p-T system automatically.
+"""
+
+from __future__ import annotations
+
+import numbers
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.expression import Constant, Expression
+from ..core.function import Function
+from ..core.spaces import (
+    FunctionSpace,
+    MixedFunctionSpace,
+    VectorFunctionSpace,
+)
+from ..ops import assembly, geometry
+from .solver_base import SolverBase, SolverError
+
+
+class CoupledNavierStokesSolver(SolverBase):
+    def __init__(self, case_input):
+        self.solving_temperature = case_input.get("solving_temperature", False)
+        SolverBase.__init__(self, case_input)
+        self.compressible = False
+        self.using_nonlinear_solver = True
+        if self.solving_temperature:
+            self.settings["mixed_variable"] = ("velocity", "pressure", "temperature")
+        else:
+            self.settings["mixed_variable"] = ("velocity", "pressure")
+
+    # -- function space --------------------------------------------------------
+    def generate_function_space(self, periodic_boundary=None):
+        self.vel_degree = self.settings["fe_degree"] + 1
+        self.pressure_degree = self.settings["fe_degree"]
+        self.is_mixed_function_space = True
+        self._update_function_space(periodic_boundary)
+
+    def _update_function_space(self, periodic_boundary=None):
+        fam = self.settings["fe_family"]
+        V = VectorFunctionSpace(self.mesh, fam, self.vel_degree)
+        Q = FunctionSpace(self.mesh, fam, self.pressure_degree)
+        subs = [V, Q]
+        if self.solving_temperature:
+            subs.append(FunctionSpace(self.mesh, fam, self.pressure_degree))
+        self.function_space = MixedFunctionSpace(subs)
+        self.velocity_subfunction_space = self.function_space.sub(0)
+
+    def update_solver_function_space(self, periodic_boundary=None):
+        """After FSI mesh motion: geometry changed, dof values carry over
+        (reference ``:104-116``; no FE-space rebuild needed here — geometry
+        contexts are rebuilt from the updated coordinates at next assembly)."""
+        self._update_function_space(periodic_boundary)
+        w = Function(self.function_space)
+        w.values[:] = self.w_current.values
+        self.w_current = w
+        w0 = Function(self.function_space)
+        w0.values[:] = self.w_prev.values
+        self.w_prev = w0
+
+    # -- sources / initial values ----------------------------------------------
+    def get_body_source(self):
+        if self.settings.get("body_source"):
+            return self.translate_value(self.settings["body_source"])
+        return Constant((0, -9.8) if self.dimension == 2 else (0, 0, -9.8))
+
+    def get_initial_field(self):
+        if isinstance(self.initial_values, Function):
+            up0 = Function(self.function_space)
+            up0.values[:] = self.initial_values.values
+            return up0
+        up0 = Function(self.function_space)
+        W = self.function_space
+        from ..core.function import interpolate
+
+        vel0 = self.initial_values.get("velocity", self.dimension * (0.0,))
+        up0.set_sub(0, interpolate(self._as_interp(tuple(vel0)), W.subspaces[0]).values)
+        p0 = self.initial_values.get("pressure", 0.0)
+        up0.set_sub(1, interpolate(self._as_interp(p0), W.subspaces[1]).values)
+        if self.solving_temperature:
+            T0 = self.initial_values.get("temperature", 293.0)
+            up0.set_sub(2, interpolate(self._as_interp(T0), W.subspaces[2]).values)
+        return up0
+
+    # -- viscosity (reference ``:194-213``) --------------------------------------
+    def viscosity_fn(self):
+        """Returns nu(p_q, T_q) traced into the kernel (non-Newtonian) or a
+        constant."""
+        nu0 = self.material["kinematic_viscosity"]
+        if "Newtonian" in self.material and not self.material["Newtonian"]:
+            p_ref = float(self.reference_values["pressure"])
+            if self.solving_temperature:
+                T_ref = float(self.reference_values["temperature"])
+
+                def nu(p_q, T_q):
+                    return (
+                        nu0
+                        * (1 + (p_q / p_ref) * 0.1)
+                        * (1 - (T_q / T_ref) * 0.2)
+                    )
+
+            else:
+
+                def nu(p_q, T_q):
+                    return nu0 * jnp.power(jnp.abs(p_q) / p_ref + 1e-12, 0.1)
+
+            return nu, True
+        return float(nu0), False
+
+    def viscosity(self, current_w=None):
+        nu, nonlinear = self.viscosity_fn()
+        return nu if not nonlinear else self.material["kinematic_viscosity"]
+
+    # -- form --------------------------------------------------------------------
+    def _tables(self, qdeg):
+        mesh = self.mesh
+        W = self.function_space
+        tab_v = geometry.basis_tables(mesh.tdim, self.vel_degree, qdeg)
+        tab_p = geometry.basis_tables(mesh.tdim, self.pressure_degree, qdeg)
+        return tab_v, tab_p
+
+    def generate_form(self, time_iter_, trial, test, up_current, up_prev):
+        W = self.function_space
+        mesh = self.mesh
+        d = mesh.gdim
+        rho = float(self.material["density"])
+        nu_spec, nu_nonlinear = self.viscosity_fn()
+        qdeg = 2 * self.vel_degree + (1 if d == 2 else 0)
+        tab_v, tab_p = self._tables(qdeg)
+        ctx = geometry.build_cell_context(W, qdeg)
+
+        phi_v = jnp.asarray(tab_v.phi)
+        dphi_v = jnp.asarray(tab_v.dphi)
+        phi_p = jnp.asarray(tab_p.phi)
+        dphi_p = jnp.asarray(tab_p.dphi)
+        qw = jnp.asarray(tab_v.qw)
+
+        Vv, Q = W.subspaces[0], W.subspaces[1]
+        kv = Vv.scalar_space.ndof_el
+        kp = Q.ndof_el
+        nu_off = kv * d
+        np_off = nu_off + kp
+
+        transient = bool(self.transient_settings["transient"])
+        dt = self.get_time_step(time_iter_) if transient else 1.0
+        newton = bool(self.using_nonlinear_solver)
+
+        # body force only when configured (reference guard ``:318``; its
+        # default-gravity helper ``:118-127`` is otherwise unused)
+        body = None
+        if self.settings.get("body_source"):
+            bf = self.get_body_source()
+            b_arr = assembly.coeff_at_qp(bf, np.asarray(ctx.qpx), quad_pts=tab_v.qp)
+            body = jnp.asarray(np.asarray(b_arr, dtype=np.float64))
+
+        aux = {"wprev": jnp.asarray(up_prev.values)[ctx.cell_dofs]}
+        if not newton:
+            aux["wfrozen"] = jnp.asarray(up_current.values)[ctx.cell_dofs]
+
+        # ALE mesh velocity (reference ``:321-329``)
+        mesh_vel = None
+        rfs = self.settings.get("reference_frame_settings")
+        if rfs:
+            if rfs["type"] != "ALE":
+                raise SolverError(
+                    f"reference_frame_settings type `{rfs['type']}` unsupported"
+                )
+            mv = self.translate_value(rfs["mesh_velocity"])
+            mv_arr = assembly.coeff_at_qp(
+                mv, np.asarray(ctx.qpx), quad_pts=tab_v.qp
+            )
+            aux["meshvel"] = jnp.asarray(
+                np.broadcast_to(
+                    np.asarray(mv_arr, dtype=np.float64),
+                    (mesh.num_cells(), len(tab_v.qw), d),
+                )
+            )
+            mesh_vel = True
+
+        ads = self.settings.get("advection_settings", {"stabilization_method": None})
+        g2 = ads.get("stabilization_method") == "G2"
+        if g2:
+            aux["h"] = jnp.asarray(2.0 * mesh.cell_circumradius())
+
+        solving_T = self.solving_temperature
+        if solving_T:
+            cond = float(self.material.get("thermal_conductivity", 0.6))
+            cp = float(self.material.get("specific_heat_capacity", 4200.0))
+            capacity = rho * cp
+
+        def split_w(we):
+            U = we[:nu_off].reshape(kv, d)
+            P = we[nu_off:np_off]
+            T = we[np_off:] if solving_T else None
+            return U, P, T
+
+        def cell_kernel(we, geom, aux_e):
+            U, P, T = split_w(we)
+            dphig_v = geometry.phys_grads(dphi_v, geom.Jinv)  # (nq,kv,g)
+            dphig_p = geometry.phys_grads(dphi_p, geom.Jinv)
+            wdet = qw * geom.detJ
+
+            u_q = jnp.einsum("qk,kv->qv", phi_v, U)
+            gU = jnp.einsum("qkg,kv->qvg", dphig_v, U)
+            p_q = phi_p @ P
+            divU = jnp.trace(gU, axis1=1, axis2=2)
+            eps = 0.5 * (gU + jnp.swapaxes(gU, 1, 2))
+
+            if solving_T:
+                T_q = phi_p @ T
+            else:
+                T_q = None
+            if nu_nonlinear:
+                nu_q = nu_spec(p_q, T_q)  # (nq,)
+            else:
+                nu_q = nu_spec
+
+            # advection velocity: traced u (Newton) or frozen u0 (Picard)
+            if newton:
+                adv = u_q
+            else:
+                U0f, _, _ = split_w(aux_e["wfrozen"])
+                adv = jnp.einsum("qk,kv->qv", phi_v, U0f)
+            if mesh_vel is not None:
+                adv = adv - aux_e["meshvel"]
+
+            # momentum: 2 nu eps(u):eps(v) - p/rho div v + (gradU . adv) . v
+            if nu_nonlinear:
+                visc = 2.0 * nu_q[:, None, None] * eps
+            else:
+                visc = 2.0 * nu_q * eps
+            r_v = jnp.einsum("q,qvg,qkg->kv", wdet, visc, dphig_v)
+            r_v = r_v - jnp.einsum("q,q,qkv->kv", wdet, p_q / rho, dphig_v)
+            conv = jnp.einsum("qvg,qg->qv", gU, adv)
+            r_v = r_v + jnp.einsum("q,qv,qk->kv", wdet, conv, phi_v)
+            if body is not None:
+                bq = jnp.broadcast_to(body, u_q.shape)
+                r_v = r_v - jnp.einsum("q,qv,qk->kv", wdet, bq, phi_v)
+            if transient:
+                U0, _, T0 = split_w(aux_e["wprev"])
+                u0_q = jnp.einsum("qk,kv->qv", phi_v, U0)
+                r_v = r_v + jnp.einsum(
+                    "q,qv,qk->kv", wdet, (u_q - u0_q) / dt, phi_v
+                )
+            if g2:
+                h = aux_e["h"]
+                Re = ads.get("Re", 1.0)
+                k1 = ads.get("kappa1", 4.0)
+                if Re <= 1:
+                    delta1 = k1 * h * h
+                else:
+                    U0sq = jnp.sum(adv * adv, axis=1) + 1e-300
+                    if transient:
+                        delta1 = (
+                            k1 / 2.0 / jnp.sqrt(1.0 / (dt * dt) + U0sq / (h * h))
+                        )
+                    else:
+                        delta1 = k1 / 2.0 * h / jnp.sqrt(U0sq)
+                # delta1 (adv.grad u, adv.grad v): reference SUBTRACTS D_u
+                # (:363) which anti-stabilizes; standard G2 adds it.
+                sres = jnp.einsum("qvg,qg->qv", gU, adv)  # (nq, v)
+                stest = jnp.einsum("qg,qkg->qk", adv, dphig_v)
+                r_v = r_v + jnp.einsum(
+                    "q,qv,qk->kv", wdet * delta1, sres, stest
+                )
+
+            # continuity: div(u) q / rho
+            r_p = jnp.einsum("q,q,qk->k", wdet, divU / rho, phi_p)
+
+            parts = [r_v.reshape(-1), r_p]
+            if solving_T:
+                gT = jnp.einsum("qkg,k->qg", dphig_p, T)
+                r_T = jnp.einsum("q,qg,qkg->k", wdet, cond * gT, dphig_p)
+                advT = jnp.einsum("qg,qg->q", adv if not mesh_vel else adv, gT)
+                r_T = r_T + capacity * jnp.einsum("q,q,qk->k", wdet, advT, phi_p)
+                if transient:
+                    _, _, T0 = split_w(aux_e["wprev"])
+                    T0_q = phi_p @ T0
+                    r_T = r_T + capacity * jnp.einsum(
+                        "q,q,qk->k", wdet, (T_q - T0_q) / dt, phi_p
+                    )
+                parts.append(r_T)
+            return jnp.concatenate(parts)
+
+        form = assembly.Form(space=W)
+        form.cell_terms.append(assembly.CellTerm(kernel=cell_kernel, ctx=ctx, aux=aux))
+
+        dirichlet = self.update_boundary_conditions(
+            time_iter_, form, qdeg, nu_spec, nu_nonlinear, rho
+        )
+        form.finalize()
+        return form, dirichlet
+
+    # -- boundary conditions (reference ``:383-490``) -----------------------------
+    def update_boundary_conditions(self, time_iter_, form, qdeg, nu_spec,
+                                   nu_nonlinear, rho):
+        W = self.function_space
+        dirichlet = assembly.DirichletData(W.ndof)
+        for key, boundary in self.boundary_conditions.items():
+            bid = boundary["boundary_id"]
+            fids = self.boundary_facet_ids(bid)
+            if boundary.get("coupling") == "FSI" and "values" not in boundary:
+                boundary["values"] = [
+                    {
+                        "variable": "velocity",
+                        "type": "Dirichlet",
+                        "value": self.dimension * (0.0,),
+                    }
+                ]
+            if "values" in boundary:
+                bc_values = (
+                    boundary["values"]
+                    if isinstance(boundary["values"], list)
+                    else list(boundary["values"].values())
+                )
+            else:
+                bc_values = [boundary]
+            for bc in bc_values:
+                var = bc.get("variable", "velocity")
+                btype = bc["type"]
+                if var == "velocity":
+                    if btype == "Dirichlet":
+                        self._vel_dirichlet(dirichlet, fids, bc["value"])
+                    elif btype == "symmetry":
+                        self._add_symmetry_term(form, fids, qdeg, nu_spec,
+                                                nu_nonlinear)
+                    elif btype == "farfield":
+                        pass  # zero velocity gradient: natural
+                    elif btype == "Neumann":
+                        raise NotImplementedError(
+                            "Neumann velocity boundary not implemented"
+                        )
+                    else:
+                        self.logger.warning(
+                            "velocity boundary type `%s` unsupported", btype
+                        )
+                elif var == "pressure":
+                    if btype == "Dirichlet":
+                        val = self.translate_value(bc["value"])
+                        off = int(W.sub_offsets[1])
+                        pdofs = off + W.subspaces[1].facet_dofs(fids)
+                        pval = (
+                            float(val.value)
+                            if isinstance(val, Constant)
+                            else (
+                                val.eval_at(
+                                    W.subspaces[1].dof_coords[pdofs - off],
+                                    t=self.get_current_time(),
+                                )
+                                if isinstance(val, Expression)
+                                else float(val)
+                            )
+                        )
+                        dirichlet.add(pdofs, pval)
+                        # consistent p n.v and open viscous boundary terms
+                        self._add_pressure_boundary_term(
+                            form, fids, qdeg, pval_bc=bc["value"], rho=rho,
+                            nu_spec=nu_spec, nu_nonlinear=nu_nonlinear,
+                        )
+                    elif btype in ("symmetry",):
+                        pass
+                    elif btype == "farfield":
+                        self._add_pressure_boundary_term(
+                            form, fids, qdeg, pval_bc=None, rho=rho,
+                            nu_spec=nu_spec, nu_nonlinear=nu_nonlinear,
+                        )
+                    elif btype == "Neumann":
+                        raise NotImplementedError(
+                            "Neumann pressure boundary not implemented"
+                        )
+                    else:
+                        self.logger.warning(
+                            "pressure boundary type `%s` unsupported", btype
+                        )
+                elif var == "temperature" and self.solving_temperature:
+                    if btype in ("Dirichlet", "fixedValue"):
+                        off = int(W.sub_offsets[2])
+                        tdofs = off + W.subspaces[2].facet_dofs(fids)
+                        val = self.translate_value(bc["value"])
+                        tval = (
+                            float(val.value)
+                            if isinstance(val, Constant)
+                            else float(val)
+                            if isinstance(val, numbers.Number)
+                            else val.eval_at(
+                                W.subspaces[2].dof_coords[tdofs - off],
+                                t=self.get_current_time(),
+                            )
+                        )
+                        dirichlet.add(tdofs, tval)
+                    # Neumann-type thermal BCs arrive via the scalar solver in
+                    # segregated runs; natural zero-flux otherwise
+        return dirichlet.finalize()
+
+    def _vel_dirichlet(self, dirichlet, fids, value):
+        if len(fids) == 0:
+            return
+        W = self.function_space
+        Vv = W.subspaces[0]
+        d = Vv.vdim
+        sdofs = Vv.scalar_space.facet_dofs(fids)
+        coords = Vv.scalar_space.dof_coords[sdofs]
+        val = self.translate_value(value)
+        if isinstance(val, Expression):
+            vals = val.eval_at(coords, t=self.get_current_time())
+            if vals.ndim == 1:
+                vals = np.tile(vals[:, None], (1, d))
+        elif isinstance(val, Constant):
+            vals = np.broadcast_to(np.atleast_1d(val.value), (len(sdofs), d))
+        elif isinstance(val, Function):
+            vals = val.values.reshape(-1, d)[sdofs]
+        else:
+            vals = np.broadcast_to(np.asarray(val, dtype=np.float64),
+                                   (len(sdofs), d))
+        for c in range(d):
+            dirichlet.add(sdofs * d + c, vals[:, c])
+
+    def _facet_tabs(self, qdeg):
+        mesh = self.mesh
+        fphi_v, fdphi_v, fw, _ = geometry.facet_basis_tables(
+            mesh.tdim, self.vel_degree, qdeg
+        )
+        return (
+            jnp.asarray(fphi_v),
+            jnp.asarray(fdphi_v),
+            jnp.asarray(fw),
+        )
+
+    def _add_pressure_boundary_term(self, form, fids, qdeg, pval_bc, rho,
+                                    nu_spec, nu_nonlinear):
+        """F += p_bc/rho n.v ds - nu ((grad u + grad u^T) n).v ds
+        (reference ``:449-452``: consistent boundary terms for open
+        boundaries; the pressure term uses the prescribed value)."""
+        if len(fids) == 0:
+            return
+        W = self.function_space
+        Vv = W.subspaces[0]
+        d = Vv.vdim
+        kv = Vv.scalar_space.ndof_el
+        kp = W.subspaces[1].ndof_el
+        nu_off = kv * d
+        fctx = geometry.build_facet_context(W, fids, qdeg)
+        fphi_v, fdphi_v, fwj = self._facet_tabs(qdeg)
+        fphi_p_tab, _, _, _ = geometry.facet_basis_tables(
+            self.mesh.tdim, self.pressure_degree, qdeg
+        )
+        fphi_p = jnp.asarray(fphi_p_tab)
+        p_fixed = None
+        if pval_bc is not None:
+            p_arr = assembly.coeff_at_qp(
+                self.translate_value(pval_bc), np.asarray(fctx.qpx),
+                t=self.get_current_time(),
+            )
+            p_fixed = jnp.asarray(np.asarray(p_arr, dtype=np.float64))
+
+        def kernel(we, geom, aux_e):
+            U = we[:nu_off].reshape(kv, d)
+            phif = fphi_v[geom.local_id]  # (nq, kv)
+            dphif = jnp.einsum("qkt,tg->qkg", fdphi_v[geom.local_id], geom.Jinv)
+            gU = jnp.einsum("qkg,kv->qvg", dphif, U)
+            n = geom.normal
+            wdetF = fwj * geom.detF
+            r_v = jnp.zeros((kv, d))
+            if p_fixed is not None:
+                pq = jnp.broadcast_to(p_fixed, (phif.shape[0],))
+                r_v = r_v + jnp.einsum(
+                    "q,v,qk->kv", wdetF * pq / rho, n, phif
+                )
+            # open boundary: remove viscous normal stress
+            if nu_nonlinear:
+                P = we[nu_off : nu_off + kp]
+                p_q = fphi_p[geom.local_id] @ P
+                T_q = None
+                if self.solving_temperature:
+                    T_q = fphi_p[geom.local_id] @ we[nu_off + kp :]
+                nu_q = nu_spec(p_q, T_q)[:, None]
+            else:
+                nu_q = nu_spec
+            sym = gU + jnp.swapaxes(gU, 1, 2)
+            tv = jnp.einsum("qvg,g->qv", sym, n)
+            if nu_nonlinear:
+                tv = nu_q * tv
+            else:
+                tv = nu_q * tv
+            r_v = r_v - jnp.einsum("q,qv,qk->kv", wdetF, tv, phif)
+            r = jnp.zeros(we.shape[0], dtype=we.dtype)
+            return r.at[:nu_off].set(r_v.reshape(-1))
+
+        form.facet_terms.append(assembly.FacetTerm(kernel=kernel, ctx=fctx))
+
+    def _add_symmetry_term(self, form, fids, qdeg, nu_spec, nu_nonlinear):
+        """Penalize normal velocity + drop tangential viscous stress
+        (reference ``:438-441``)."""
+        if len(fids) == 0:
+            return
+        W = self.function_space
+        Vv = W.subspaces[0]
+        d = Vv.vdim
+        kv = Vv.scalar_space.ndof_el
+        nu_off = kv * d
+        fctx = geometry.build_facet_context(W, fids, qdeg)
+        fphi_v, fdphi_v, fwj = self._facet_tabs(qdeg)
+
+        def kernel(we, geom, aux_e):
+            U = we[:nu_off].reshape(kv, d)
+            phif = fphi_v[geom.local_id]
+            dphif = jnp.einsum("qkt,tg->qkg", fdphi_v[geom.local_id], geom.Jinv)
+            gU = jnp.einsum("qkg,kv->qvg", dphif, U)
+            n = geom.normal
+            wdetF = fwj * geom.detF
+            u_q = jnp.einsum("qk,kv->qv", phif, U)
+            un = jnp.einsum("qv,v->q", u_q, n)
+            # (u.n)(v.n) penalty
+            r_v = jnp.einsum("q,v,qk->kv", wdetF * un, n, phif)
+            # minus tangential viscous stress
+            nu_q = (
+                nu_spec
+                if not nu_nonlinear
+                else self.material["kinematic_viscosity"]
+            )
+            sym = gU + jnp.swapaxes(gU, 1, 2)
+            tv = nu_q * jnp.einsum("qvg,g->qv", sym, n)
+            r_v = r_v - jnp.einsum("q,qv,qk->kv", wdetF, tv, phif)
+            r = jnp.zeros(we.shape[0], dtype=we.dtype)
+            return r.at[:nu_off].set(r_v.reshape(-1))
+
+        form.facet_terms.append(assembly.FacetTerm(kernel=kernel, ctx=fctx))
+
+    # -- solve ---------------------------------------------------------------------
+    def solve_form(self, F, up_, Dirichlet_bcs_up):
+        if self.using_nonlinear_solver:
+            return self.solve_nonlinear_problem(F, up_, Dirichlet_bcs_up, spd=False)
+        # Picard loop with under-relaxation (reference ``:496-528``)
+        import time as _time
+
+        max_iter, tol, under_relax = 50, 1e-4, 0.7
+        eps = 1.0
+        iter_ = 0
+        t0 = _time.perf_counter()
+        while iter_ < max_iter and eps > tol:
+            up_temp = up_.values.copy()
+            # rebuild form so the frozen advection velocity updates
+            F, _ = self.generate_form(
+                getattr(self, "current_step", 0), None, None, up_, self.w_prev
+            )
+            up_ = self.solve_linear_problem(F, up_, Dirichlet_bcs_up, spd=False)
+            diff_up = up_.values - up_temp
+            eps = float(np.linalg.norm(diff_up, ord=np.inf))
+            self.logger.info(
+                "Picard iter = %d; eps_up = %e; elapsed = %.2fs",
+                iter_, eps, _time.perf_counter() - t0,
+            )
+            up_.values[:] = up_temp + diff_up * under_relax
+            iter_ += 1
+        return up_
+
+    # -- post-processing (reference ``:149-192``, bugs fixed) ----------------------
+    def split_solution(self, up=None):
+        up = up or self.w_current
+        parts = up.split()
+        if self.solving_temperature:
+            return parts[0], parts[1], parts[2]
+        return parts[0], parts[1]
+
+    def sigma_at_qp(self, up, qdeg=2):
+        """Cauchy stress mu(grad u + grad u^T) - p I at quadrature points."""
+        W = self.function_space
+        mesh = self.mesh
+        d = mesh.gdim
+        rho = float(self.material["density"])
+        mu = float(self.material["kinematic_viscosity"]) * rho
+        Vv, Q = W.subspaces[0], W.subspaces[1]
+        tab_v = geometry.basis_tables(mesh.tdim, Vv.degree, qdeg)
+        tab_p = geometry.basis_tables(mesh.tdim, Q.degree, qdeg)
+        ctx = geometry.build_cell_context(W, qdeg)
+        u_vals = up.values[W.slice_of(0)].reshape(-1, d)
+        p_vals = up.values[W.slice_of(1)]
+        Ue = jnp.asarray(u_vals)[np.asarray(Vv.scalar_space.cell_dofs)]
+        Pe = jnp.asarray(p_vals)[np.asarray(Q.cell_dofs)]
+        dphig = jnp.einsum("qkt,ctg->cqkg", jnp.asarray(tab_v.dphi), ctx.Jinv)
+        gU = jnp.einsum("cqkg,ckv->cqvg", dphig, Ue)
+        p_q = jnp.einsum("qk,ck->cq", jnp.asarray(tab_p.phi), Pe)
+        I = jnp.eye(d)
+        return mu * (gU + jnp.swapaxes(gU, 2, 3)) - p_q[:, :, None, None] * I
+
+    def viscous_stress(self, up=None, T_space=None):
+        """Project the stress tensor componentwise onto P1 Functions:
+        returns (d, d) nested list of Functions."""
+        up = up or self.w_current
+        qdeg = 2
+        s = self.sigma_at_qp(up, qdeg)
+        V1 = FunctionSpace(self.mesh, "P", 1)
+        d = self.mesh.gdim
+        out = []
+        for a in range(d):
+            row = []
+            for b in range(d):
+                row.append(
+                    assembly.l2_project(
+                        None, V1, quad_degree=qdeg, rhs_values=s[:, :, a, b]
+                    )
+                )
+            out.append(row)
+        return out
+
+    def boundary_traction(self, up=None, boundary_ids=None):
+        """sigma . n sampled at boundary vertices; returns (vertex_ids,
+        tractions (n, d)).  Fixes the reference's missing-arg call (:159)."""
+        up = up or self.w_current
+        sig = self.viscous_stress(up)  # P1 tensor components
+        mesh = self.mesh
+        d = mesh.gdim
+        if boundary_ids is None:
+            fids = mesh.exterior_facets()
+        else:
+            fids = np.concatenate(
+                [self.boundary_facet_ids(i) for i in boundary_ids]
+            )
+        normals = mesh.facet_normals()[fids]
+        fv = mesh.facets()[fids]
+        # average facet normals to vertices
+        verts = np.unique(fv.ravel())
+        vnorm = np.zeros((mesh.num_vertices(), d))
+        for k in range(fv.shape[1]):
+            np.add.at(vnorm, fv[:, k], normals)
+        lens = np.linalg.norm(vnorm[verts], axis=1, keepdims=True)
+        vnormals = vnorm[verts] / np.maximum(lens, 1e-300)
+        sig_v = np.stack(
+            [
+                np.stack([sig[a][b].values[verts] for b in range(d)], axis=1)
+                for a in range(d)
+            ],
+            axis=1,
+        )  # (nv, d, d)
+        traction = np.einsum("nab,nb->na", sig_v, vnormals)
+        return verts, traction
+
+    def calc_drag_and_lift(self, up, drag_axis_index, lift_axis_index,
+                           boundary_index_list):
+        """Force integral -int (sigma . n) ds over the listed boundaries
+        (fixes the reference's undefined ``self.ds`` at ``:176``)."""
+        if not boundary_index_list:
+            raise SolverError("boundary_index_list must be specified")
+        up = up or self.w_current
+        qdeg = 3
+        W = self.function_space
+        mesh = self.mesh
+        d = mesh.gdim
+        rho = float(self.material["density"])
+        mu = float(self.material["kinematic_viscosity"]) * rho
+        Vv, Q = W.subspaces[0], W.subspaces[1]
+        kv = Vv.scalar_space.ndof_el
+        nu_off = kv * d
+        kp = Q.ndof_el
+        fids = np.concatenate(
+            [self.boundary_facet_ids(i) for i in boundary_index_list]
+        )
+        fctx = geometry.build_facet_context(W, fids, qdeg)
+        fphi_v, fdphi_v, fwj = self._facet_tabs(qdeg)
+        fphi_p_tab, _, _, _ = geometry.facet_basis_tables(
+            mesh.tdim, self.pressure_degree, qdeg
+        )
+        fphi_p = jnp.asarray(fphi_p_tab)
+        I = jnp.eye(d)
+
+        def kernel(we, geom, aux_e):
+            U = we[:nu_off].reshape(kv, d)
+            P = we[nu_off : nu_off + kp]
+            phif_p = fphi_p[geom.local_id]
+            dphif = jnp.einsum("qkt,tg->qkg", fdphi_v[geom.local_id], geom.Jinv)
+            gU = jnp.einsum("qkg,kv->qvg", dphif, U)
+            p_q = phif_p @ P
+            sig = mu * (gU + jnp.swapaxes(gU, 1, 2)) - p_q[:, None, None] * I
+            t = jnp.einsum("qvg,g->qv", sig, geom.normal)
+            return -jnp.einsum("q,qv->v", fwj * geom.detF, t)
+
+        forces = jax.vmap(
+            kernel,
+            in_axes=(0, geometry.FacetContext(*([0] * 8)), None),
+        )(jnp.asarray(up.values)[fctx.cell_dofs], fctx, None)
+        total = np.asarray(jnp.sum(forces, axis=0))
+        return float(total[drag_axis_index]), float(total[lift_axis_index])
+
+    def viscous_heat(self, u=None, p=None):
+        """Shear heating power density projected to P1 (reference ``:187``)."""
+        up = self.w_current
+        qdeg = 2
+        s = self.sigma_at_qp(up, qdeg)  # includes -pI
+        W = self.function_space
+        mesh = self.mesh
+        d = mesh.gdim
+        Vv = W.subspaces[0]
+        tab_v = geometry.basis_tables(mesh.tdim, Vv.degree, qdeg)
+        ctx = geometry.build_cell_context(W, qdeg)
+        Ue = jnp.asarray(up.values[W.slice_of(0)].reshape(-1, d))[
+            np.asarray(Vv.scalar_space.cell_dofs)
+        ]
+        dphig = jnp.einsum("qkt,ctg->cqkg", jnp.asarray(tab_v.dphi), ctx.Jinv)
+        gU = jnp.einsum("cqkg,ckv->cqvg", dphig, Ue)
+        heating = jnp.einsum("cqvg,cqvg->cq", s, gU)
+        V1 = FunctionSpace(self.mesh, "P", 1)
+        return assembly.l2_project(None, V1, quad_degree=qdeg, rhs_values=heating)
+
+    def plot_result(self):
+        from ..utils import plotting
+
+        parts = self.result.split()
+        plotting.plot(parts[0], title="velocity")
+        plotting.plot(parts[1], title="pressure")

@@ -510,7 +510,7 @@ class ScalarTransportSolver(SolverBase):
         A, b = assembly.assemble_linear_system(F, dtype=jnp.asarray(u.values).dtype)
         b = b - extra
         x = self.solve_static(A, b, dirichlet, x0=jnp.asarray(u.values), spd=spd)
-        u.values = np.asarray(x)
+        u.values = np.array(x)
         return u
 
     def _solve_nonlinear(self, F, extra, u_current, dirichlet, spd=True):
@@ -555,7 +555,7 @@ class ScalarTransportSolver(SolverBase):
             maxiter=max(sp.get("maximum_iterations", 50), 25),
             logger=self.logger if sp.get("monitor_convergence") else None,
         )
-        u_current.values = np.asarray(x)
+        u_current.values = np.array(x)
         return u_current
 
     # -- post-processing -------------------------------------------------------

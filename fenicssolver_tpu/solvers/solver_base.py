@@ -548,7 +548,7 @@ class SolverBase:
     def solve_linear_problem(self, form, u, dirichlet, spd=True):
         A, b = assembly.assemble_linear_system(form, dtype=u.values.dtype)
         x = self.solve_static(A, b, dirichlet, x0=jnp.asarray(u.values), spd=spd)
-        u.values = np.asarray(x)
+        u.values = np.array(x)
         return u
 
     def solve_nonlinear_problem(self, form, u_current, dirichlet, spd=False):
@@ -599,7 +599,7 @@ class SolverBase:
             maxiter=sp.get("maximum_iterations", 50),
             logger=self.logger if sp.get("monitor_convergence") else None,
         )
-        u_current.values = np.asarray(x)
+        u_current.values = np.array(x)
         return u_current
 
     def solve_amg(self, form, u, dirichlet):
@@ -619,7 +619,7 @@ class SolverBase:
         )
         if sp.get("monitor_convergence"):
             self.logger.info("AMG-CG: %d iters, rel res %.3e", int(it), float(res))
-        u.values = np.asarray(x)
+        u.values = np.array(x)
         return u
 
     # hooks implemented by physics solvers -----------------------------------
