@@ -70,11 +70,8 @@ class Form:
 
 
 def _vmap_term(term):
-    in_axes = (0, geometry.CellContext(*([0] * len(geometry.CellContext._fields)))
-               if isinstance(term.ctx, geometry.CellContext)
-               else geometry.FacetContext(*([0] * len(geometry.FacetContext._fields))),
-               0 if term.aux is not None else None)
-    return in_axes
+    ctx_axes = type(term.ctx)(*([0] * len(term.ctx._fields)))
+    return (0, ctx_axes, 0 if term.aux is not None else None)
 
 
 def assemble_residual(form, u):

@@ -49,6 +49,77 @@ class FacetContext(NamedTuple):
     detJ: jnp.ndarray  # (nf,) owning cell |detJ|
 
 
+class InteriorFacetContext(NamedTuple):
+    """Device-resident per-facet geometry for interior ('+'/'-') facets.
+
+    Because cell vertices are sorted ascending, both adjacent cells see the
+    facet through the *same* sorted-vertex barycentric parameterization, so
+    quadrature points on the two traces coincide pointwise — no permutation
+    table is needed (the dolfin 'shared_facet' machinery analog).
+    """
+
+    cell_dofs: jnp.ndarray  # (nf, 2k) dofs of [plus cell | minus cell]
+    local_plus: jnp.ndarray  # (nf,)
+    local_minus: jnp.ndarray  # (nf,)
+    detF: jnp.ndarray  # (nf,)
+    normal: jnp.ndarray  # (nf, gdim) out of the plus cell
+    qpx: jnp.ndarray  # (nf, nq, gdim)
+    Jinv_plus: jnp.ndarray  # (nf, tdim, gdim)
+    Jinv_minus: jnp.ndarray
+    h_plus: jnp.ndarray  # (nf,) cell sizes for penalty scaling
+    h_minus: jnp.ndarray
+
+
+def build_interior_facet_context(space, facet_ids, quad_degree, coords=None):
+    mesh = space.mesh
+    coords = mesh.coords if coords is None else np.asarray(coords)
+    facet_ids = np.asarray(facet_ids, dtype=np.int32)
+    tdim = mesh.tdim
+    info = mesh._compute_facets()
+    cp = info["facet_cells"][facet_ids, 0]
+    cm = info["facet_cells"][facet_ids, 1]
+    lp = info["facet_local"][facet_ids, 0]
+    lm = info["facet_local"][facet_ids, 1]
+    assert (cm >= 0).all(), "interior facet context on a boundary facet"
+    fv = info["facet_vertices"][facet_ids]
+    X = coords[fv]
+    if tdim == 2:
+        e = X[:, 1] - X[:, 0]
+        area = np.linalg.norm(e, axis=1)
+        refvol = 1.0
+        n = np.stack([e[:, 1], -e[:, 0]], axis=1)
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-300)
+    else:
+        c = np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0])
+        area = 0.5 * np.linalg.norm(c, axis=1)
+        refvol = 0.5
+        n = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    cell_mid = coords[mesh.cells_array[cp]].mean(axis=1)
+    fmid = X.mean(axis=1)
+    sign = np.sign(np.einsum("fg,fg->f", fmid - cell_mid, n))
+    sign[sign == 0] = 1.0
+    n = n * sign[:, None]  # out of the plus cell
+    _, fpts, _ = elements.facet_quadrature_in_cell(tdim, quad_degree)
+    lam_f = np.concatenate([1 - fpts.sum(axis=1, keepdims=True), fpts], axis=1)
+    qpx = np.einsum("qv,fvg->fqg", lam_f, X)
+    _, detJ_all, Jinv_all = _affine_geometry(coords, mesh.cells_array, tdim)
+    h = mesh.cell_sizes()
+    return InteriorFacetContext(
+        cell_dofs=jnp.asarray(
+            np.concatenate([space.cell_dofs[cp], space.cell_dofs[cm]], axis=1)
+        ),
+        local_plus=jnp.asarray(lp),
+        local_minus=jnp.asarray(lm),
+        detF=jnp.asarray(area / refvol),
+        normal=jnp.asarray(n),
+        qpx=jnp.asarray(qpx),
+        Jinv_plus=jnp.asarray(Jinv_all[cp]),
+        Jinv_minus=jnp.asarray(Jinv_all[cm]),
+        h_plus=jnp.asarray(h[cp]),
+        h_minus=jnp.asarray(h[cm]),
+    )
+
+
 def basis_tables(tdim, degree, quad_degree):
     qp, qw = elements.quadrature(tdim, quad_degree)
     phi, dphi = elements.tabulate(tdim, degree, qp)
