@@ -250,6 +250,15 @@ class LinearElasticitySolver(SolverBase):
                     self._add_traction(form, fids, normal_scale=-float(p), qdeg=qdeg)
             elif btype == "stress":
                 g = bc["value"]
+                if (
+                    isinstance(g, tuple)
+                    and len(g) == 2
+                    and g[0] == "vertex_tensor_field"
+                ):
+                    # FSI path: per-vertex stress tensors mapped from the
+                    # fluid (FSISolver.update_solid_interface)
+                    self._add_tensor_field_traction(form, fids, g[1], qdeg)
+                    continue
                 if isinstance(g, Constant):
                     g = np.asarray(g.value)
                 else:
@@ -361,6 +370,37 @@ class LinearElasticitySolver(SolverBase):
         form.facet_terms.append(
             assembly.FacetTerm(kernel=kernel, ctx=fctx, aux=aux)
         )
+
+    def _add_tensor_field_traction(self, form, fids, sigma_vertex, qdeg):
+        """Traction from a P1 per-vertex stress tensor field: t = sigma . n
+        evaluated at facet quadrature points (FSI coupling)."""
+        if len(fids) == 0:
+            return
+        V = self.function_space
+        mesh = self.mesh
+        d = V.vdim
+        ks = V.scalar_space.ndof_el
+        fctx = geometry.build_facet_context(V, fids, qdeg)
+        fphi_tab, _, fw, _ = geometry.facet_basis_tables(mesh.tdim, V.degree, qdeg)
+        fphi = jnp.asarray(fphi_tab)
+        fwj = jnp.asarray(fw)
+        # interpolate vertex tensors to facet quadrature points (P1 on facet)
+        from ..core import elements
+
+        fv = mesh.facets()[np.asarray(fids)]
+        _, fpts, _ = elements.facet_quadrature_in_cell(mesh.tdim, qdeg)
+        lam = np.concatenate([1 - fpts.sum(axis=1, keepdims=True), fpts], axis=1)
+        sig_q = np.einsum("qv,fvab->fqab", lam, sigma_vertex[fv])  # (nf,nq,d,d)
+        n = np.asarray(fctx.normal)
+        t_q = np.einsum("fqab,fb->fqa", sig_q, n)  # (nf, nq, d)
+        aux = {"t": jnp.asarray(t_q)}
+
+        def kernel(ue, geom, aux_e):
+            phif = fphi[geom.local_id]
+            r = -jnp.einsum("q,qv,qk->kv", fwj * geom.detF, aux_e["t"], phif)
+            return r.reshape(-1)
+
+        form.facet_terms.append(assembly.FacetTerm(kernel=kernel, ctx=fctx, aux=aux))
 
     # -- solve -------------------------------------------------------------------
     def solve_form(self, F, u_, bcs):

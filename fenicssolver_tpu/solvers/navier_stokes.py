@@ -185,6 +185,8 @@ class CoupledNavierStokesSolver(SolverBase):
         # ALE mesh velocity (reference ``:321-329``)
         mesh_vel = None
         rfs = self.settings.get("reference_frame_settings")
+        if rfs and rfs.get("mesh_velocity") is None:
+            rfs = None  # first FSI step: mesh not yet moving
         if rfs:
             if rfs["type"] != "ALE":
                 raise SolverError(
@@ -433,7 +435,20 @@ class CoupledNavierStokesSolver(SolverBase):
         elif isinstance(val, Constant):
             vals = np.broadcast_to(np.atleast_1d(val.value), (len(sdofs), d))
         elif isinstance(val, Function):
-            vals = val.values.reshape(-1, d)[sdofs]
+            if val.space.ndof == Vv.ndof:
+                vals = val.values.reshape(-1, d)[sdofs]
+            else:
+                # e.g. a P1 mesh-velocity field constraining the P2 velocity
+                # space (FSI): P1 values at vertices, endpoint averages at
+                # edge-midpoint dofs
+                nv = self.mesh.num_vertices()
+                src = val.values.reshape(-1, d)
+                vals = np.zeros((len(sdofs), d))
+                is_vert = sdofs < nv
+                vals[is_vert] = src[sdofs[is_vert]]
+                if (~is_vert).any():
+                    ev = self.mesh.edges()[sdofs[~is_vert] - nv]
+                    vals[~is_vert] = 0.5 * (src[ev[:, 0]] + src[ev[:, 1]])
         else:
             vals = np.broadcast_to(np.asarray(val, dtype=np.float64),
                                    (len(sdofs), d))

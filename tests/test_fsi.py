@@ -1,0 +1,168 @@
+"""FSI coupling test — the reference bundles NO FSI test (SURVEY.md §4:
+"video-only evidence"); this exercises the full segregated loop:
+fluid solve -> stress transfer -> solid solve -> mesh motion -> ALE."""
+
+import numpy as np
+
+from fenicssolver_tpu.core import (
+    AutoSubDomain,
+    Constant,
+    Expression,
+    Point,
+    RectangleMesh,
+    near,
+)
+from fenicssolver_tpu.solvers.fsi import FSISolver
+
+
+def make_fsi_settings():
+    # fluid: channel y in [0.5, 1]; solid: slab y in [0.3, 0.5]
+    fluid_mesh = RectangleMesh(Point(0, 0.5), Point(1, 1.0), 8, 4)
+    solid_mesh = RectangleMesh(Point(0, 0.3), Point(1, 0.5), 8, 2)
+
+    inlet = AutoSubDomain(lambda x: near(x[0], 0.0))
+    outlet = AutoSubDomain(lambda x: near(x[0], 1.0))
+    top = AutoSubDomain(lambda x: near(x[1], 1.0))
+    interface = AutoSubDomain(lambda x: near(x[1], 0.5))
+    solid_bottom = AutoSubDomain(lambda x: near(x[1], 0.3))
+    solid_sides = AutoSubDomain(lambda x: near(x[0], 0.0) | near(x[0], 1.0))
+
+    parabola = Expression(
+        ("umax*16.0*(x[1]-0.5)*(1.0-x[1])", "0"), umax=0.3, degree=2
+    )
+    fluid_bcs = {
+        "inlet": {
+            "boundary": inlet,
+            "boundary_id": 1,
+            "values": [
+                {"variable": "velocity", "type": "Dirichlet", "value": parabola}
+            ],
+        },
+        "outlet": {
+            "boundary": outlet,
+            "boundary_id": 2,
+            "values": [
+                {"variable": "pressure", "type": "Dirichlet", "value": 0.0}
+            ],
+        },
+        "top": {
+            "boundary": top,
+            "boundary_id": 3,
+            "values": [
+                {"variable": "velocity", "type": "Dirichlet", "value": (0.0, 0.0)}
+            ],
+        },
+        "interface": {
+            "boundary": interface,
+            "boundary_id": 4,
+            "coupling": "FSI",
+        },
+    }
+    solid_bcs = {
+        "bottom": {
+            "boundary": solid_bottom,
+            "boundary_id": 1,
+            "type": "Dirichlet",
+            "value": Constant((0.0, 0.0)),
+        },
+        "sides": {
+            "boundary": solid_sides,
+            "boundary_id": 2,
+            "type": "Dirichlet",
+            "value": Constant((0.0, 0.0)),
+        },
+        "interface": {
+            "boundary": interface,
+            "boundary_id": 4,
+            "coupling": "FSI",
+            "type": "stress",
+            "value": Constant((0.0, 0.0)),
+        },
+    }
+    transient = {
+        "transient": True,
+        "starting_time": 0.0,
+        "time_step": 0.02,
+        "ending_time": 0.06,
+    }
+    report = {
+        "plotting_freq": 0,
+        "saving_freq": 0,
+        "plotting_interactive": False,
+        "logging_level": 40,
+    }
+    fluid_settings = {
+        "solver_name": "CoupledNavierStokesSolver",
+        "mesh": fluid_mesh,
+        "fe_degree": 1,
+        "boundary_conditions": fluid_bcs,
+        "body_source": None,
+        "initial_values": {"velocity": (0.0, 0.0), "pressure": 0.0},
+        "material": {"density": 1000.0, "kinematic_viscosity": 0.01},
+        "solver_settings": {
+            "transient_settings": transient,
+            "reference_values": {"pressure": 101325.0},
+            "solver_parameters": {
+                "relative_tolerance": 1e-9,
+                "maximum_iterations": 100,
+                "monitor_convergence": False,
+            },
+        },
+        "report_settings": report,
+    }
+    solid_settings = {
+        "solver_name": "LinearElasticitySolver",
+        "mesh": solid_mesh,
+        "fe_degree": 2,
+        "boundary_conditions": solid_bcs,
+        "temperature_distribution": None,
+        "material": {
+            "elastic_modulus": 1e6,
+            "poisson_ratio": 0.3,
+            "density": 1000,
+            "thermal_expansion_coefficient": 2e-6,
+        },
+        "solver_settings": {
+            "transient_settings": transient,
+            "reference_values": {"temperature": 293},
+            "solver_parameters": {
+                "relative_tolerance": 1e-10,
+                "maximum_iterations": 2000,
+                "monitor_convergence": False,
+            },
+        },
+        "report_settings": report,
+    }
+    return {
+        "solver_name": "FSISolver",
+        "participants": [
+            {"solver_domain": "fluidic", "settings": fluid_settings},
+            {"solver_domain": "elastic", "settings": solid_settings},
+        ],
+        "parent_mesh": None,
+        "transient_settings": transient,
+        "coupling_settings": {},
+    }
+
+
+def test_fsi_channel_over_elastic_wall():
+    s = make_fsi_settings()
+    fsi = FSISolver(s)
+    # interface vertices matched one-to-one
+    assert len(fsi.fluid_iface_verts) == 9  # 8 segments -> 9 vertices
+    results = fsi.solve()
+    up = fsi.fluid_solver.w_current
+    assert np.isfinite(up.values).all()
+    u_solid = fsi.solid_solver.w_current
+    assert np.isfinite(u_solid.values).all()
+    # the solid interface carries fluid load: some deformation occurred
+    d = 2
+    U = u_solid.values.reshape(-1, d)
+    assert np.abs(U).max() > 0
+    # fluid mesh followed the interface (ALE move happened)
+    moved = np.abs(
+        fsi.fluid_solver.mesh.coords - fsi.original_fluid_coords
+    ).max()
+    assert moved > 0
+    # and the motion stays small/bounded for this stiff solid
+    assert moved < 0.05
