@@ -1,0 +1,133 @@
+"""CFD example: elbow flow (ported from the reference's mshr-based
+``examples/test_cfd_solver.py`` — the elbow geometry comes from the built-in
+Delaunay mesher instead of mshr/CGAL)."""
+
+import numpy as np
+
+from config import is_interactive
+
+interactively = is_interactive()
+
+from fenicssolver_tpu.compat import *  # noqa: F403
+from fenicssolver_tpu.core.meshgen import elbow_mesh
+from fenicssolver_tpu.solvers.navier_stokes import CoupledNavierStokesSolver
+
+max_vel = 1.0
+
+
+def setup_case(resolution=16, solving_temperature=False):
+    mesh = elbow_mesh(resolution)
+    x_min, x_max = 0.0, 4.0
+    y_min, y_max = 0.0, 4.0
+    inlet = AutoSubDomain(lambda x: near(x[1], y_min))
+    outlet = AutoSubDomain(lambda x: near(x[0], x_max))
+    walls = AutoSubDomain(
+        lambda x: ~(near(x[1], y_min) | near(x[0], x_max))
+    )
+    inlet_profile = Expression(
+        ("0", "max_vel*(1.0-pow((x[0]-0.5)/0.5, 2))"), max_vel=max_vel, degree=2
+    )
+    bcs = {
+        "walls": {
+            "boundary": walls,
+            "boundary_id": 1,
+            "values": [
+                {"variable": "velocity", "type": "Dirichlet", "value": (0.0, 0.0)}
+            ]
+            + (
+                [{"variable": "temperature", "type": "Dirichlet", "value": 320.0}]
+                if solving_temperature
+                else []
+            ),
+        },
+        "inlet": {
+            "boundary": inlet,
+            "boundary_id": 2,
+            "values": [
+                {
+                    "variable": "velocity",
+                    "type": "Dirichlet",
+                    "value": inlet_profile,
+                }
+            ]
+            + (
+                [{"variable": "temperature", "type": "Dirichlet", "value": 300.0}]
+                if solving_temperature
+                else []
+            ),
+        },
+        "outlet": {
+            "boundary": outlet,
+            "boundary_id": 3,
+            "values": [
+                {"variable": "pressure", "type": "Dirichlet", "value": 0.0}
+            ],
+        },
+    }
+    settings = {
+        "solver_name": "CoupledNavierStokesSolver",
+        "mesh": mesh,
+        "fe_degree": 1,
+        "boundary_conditions": bcs,
+        "body_source": None,
+        "solving_temperature": solving_temperature,
+        "initial_values": {
+            "velocity": (0.0, 0.0),
+            "pressure": 0.0,
+            "temperature": 300.0,
+        },
+        "material": {
+            "density": 1000.0,
+            "kinematic_viscosity": 0.5,
+            "specific_heat_capacity": 4200.0,
+            "thermal_conductivity": 0.6,
+        },
+        "solver_settings": {
+            "transient_settings": {
+                "transient": False,
+                "starting_time": 0,
+                "time_step": 0.1,
+                "ending_time": 1,
+            },
+            "reference_values": {"temperature": 293, "pressure": 101325},
+            "solver_parameters": {
+                "relative_tolerance": 1e-9,
+                "maximum_iterations": 100,
+                "monitor_convergence": False,
+            },
+        },
+        "report_settings": {
+            "plotting_freq": 0,
+            "saving_freq": 0,
+            "plotting_interactive": False,
+            "logging_level": 40,
+        },
+    }
+    return settings
+
+
+def test():
+    solver = CoupledNavierStokesSolver(setup_case(8))
+    up = solver.solve()
+    u, p = solver.split_solution(up)
+    assert np.isfinite(up.values).all()
+    # mass conservation: inflow ~ outflow magnitude
+    print("elbow flow: |u|_max =", float(np.abs(u.values).max()))
+    assert np.abs(u.values).max() < 3.0 * max_vel
+    if interactively:
+        solver.plot()
+
+
+def test_coupled_temperature():
+    solver = CoupledNavierStokesSolver(setup_case(7, solving_temperature=True))
+    up = solver.solve()
+    T = up.values[solver.function_space.slice_of(2)]
+    assert np.isfinite(T).all()
+    assert 295.0 < T.min() and T.max() < 321.5  # small SUPG undershoot ok
+    print("coupled T range:", T.min(), T.max())
+
+
+if __name__ == "__main__":
+    test()
+    test_coupled_temperature()
+    print("test_cfd_solver: OK")

@@ -1,0 +1,103 @@
+"""Flow past a cylinder (ported from the reference's
+``examples/test_flow_pass_cylinder.py``: DFG-style benchmark geometry —
+channel 2.2 x 0.41 with a cylinder at (0.2, 0.2), r = 0.05; the mshr CSG
+geometry is replaced by the built-in Delaunay mesher).  Demonstrates the
+steady-then-transient restart idiom and the Picard path
+(``solver.using_nonlinear_solver = False``, reference ``:131,136-139``)."""
+
+import numpy as np
+
+from config import is_interactive
+
+interactively = is_interactive()
+
+from fenicssolver_tpu.compat import *  # noqa: F403
+from fenicssolver_tpu.core.meshgen import rectangle_with_hole
+from fenicssolver_tpu.solvers.navier_stokes import CoupledNavierStokesSolver
+
+L, H = 2.2, 0.41
+center, radius = (0.2, 0.2), 0.05
+Um = 0.3  # peak inlet velocity; Re = Um*2r/nu ~ 20 (steady regime)
+
+
+def make_settings(resolution=20, transient=False):
+    mesh = rectangle_with_hole((0, 0), (L, H), center, radius, resolution)
+    inlet = AutoSubDomain(lambda x: near(x[0], 0.0))
+    outlet = AutoSubDomain(lambda x: near(x[0], L))
+    walls = AutoSubDomain(lambda x: near(x[1], 0.0) | near(x[1], H))
+    cylinder = AutoSubDomain(
+        lambda x: ((x[0] - center[0]) ** 2 + (x[1] - center[1]) ** 2)
+        < (radius * 1.2) ** 2
+    )
+    inflow = Expression(
+        ("4.0*Um*x[1]*(H - x[1])/(H*H)", "0"), Um=Um, H=H, degree=2
+    )
+    bcs = {
+        "inlet": {
+            "boundary": inlet, "boundary_id": 1,
+            "values": [{"variable": "velocity", "type": "Dirichlet",
+                        "value": inflow}],
+        },
+        "outlet": {
+            "boundary": outlet, "boundary_id": 2,
+            "values": [{"variable": "pressure", "type": "Dirichlet",
+                        "value": 0.0}],
+        },
+        "walls": {
+            "boundary": walls, "boundary_id": 3,
+            "values": [{"variable": "velocity", "type": "Dirichlet",
+                        "value": (0.0, 0.0)}],
+        },
+        "cylinder": {
+            "boundary": cylinder, "boundary_id": 4,
+            "values": [{"variable": "velocity", "type": "Dirichlet",
+                        "value": (0.0, 0.0)}],
+        },
+    }
+    return {
+        "solver_name": "CoupledNavierStokesSolver",
+        "mesh": mesh,
+        "fe_degree": 1,
+        "boundary_conditions": bcs,
+        "body_source": None,
+        "initial_values": {"velocity": (0.0, 0.0), "pressure": 0.0},
+        "material": {"density": 1.0, "kinematic_viscosity": 0.0015},
+        "solver_settings": {
+            "transient_settings": {
+                "transient": transient, "starting_time": 0,
+                "time_step": 0.05, "ending_time": 0.15,
+            },
+            "reference_values": {"pressure": 101325.0},
+            "solver_parameters": {"relative_tolerance": 1e-8,
+                                  "maximum_iterations": 100,
+                                  "monitor_convergence": False},
+        },
+        "report_settings": {"plotting_freq": 0, "saving_freq": 0,
+                            "plotting_interactive": False, "logging_level": 40},
+    }
+
+
+def test():
+    # steady solve first
+    s = make_settings(16, transient=False)
+    solver = CoupledNavierStokesSolver(s)
+    up0 = solver.solve()
+    assert np.isfinite(up0.values).all()
+    drag, lift = solver.calc_drag_and_lift(up0, 0, 1, [4])
+    print(f"steady: drag = {drag:.5g}, lift = {lift:.5g}")
+    assert drag > 0  # flow pushes the cylinder downstream
+
+    # steady -> transient restart idiom (reference :136-139)
+    s2 = make_settings(16, transient=True)
+    s2["initial_values"] = up0
+    solver2 = CoupledNavierStokesSolver(s2)
+    solver2.using_nonlinear_solver = False  # Picard path
+    up = solver2.solve()
+    assert np.isfinite(up.values).all()
+    if interactively:
+        solver2.plot()
+
+
+if __name__ == "__main__":
+    test()
+    print("test_flow_pass_cylinder: OK")

@@ -153,6 +153,23 @@ class Mesh:
         nc = self.num_cells()
         local = _FACET_VERTICES[tdim]
         nlf = len(local)
+        # native C++ fast path (validated against this numpy implementation)
+        from .. import native as _native
+
+        nat = _native.build_facets(self.cells_array) if nc > 0 else None
+        if nat is not None:
+            facet_id, facet_vertices, facet_cells, facet_local = nat
+            count = np.zeros(facet_vertices.shape[0], dtype=np.int64)
+            np.add.at(count, facet_id.reshape(-1), 1)
+            res = dict(
+                facet_vertices=facet_vertices.astype(np.int32),
+                cell_facets=facet_id.astype(np.int64),
+                facet_cells=facet_cells,
+                facet_local=facet_local,
+                exterior=count == 1,
+            )
+            self._topology_cache["facets"] = res
+            return res
         # all (cell, local facet) vertex tuples; vertices already sorted per
         # cell so each facet tuple is itself sorted -> canonical key
         all_fv = np.stack(

@@ -1,0 +1,99 @@
+"""Small 2D unstructured mesh generation (mshr/CGAL replacement).
+
+The reference's CFD examples build geometry with mshr (elbow:
+``examples/test_cfd_solver.py:67-75``; channel-minus-cylinder:
+``examples/test_flow_pass_cylinder.py:61-64``) and skip when mshr is absent.
+Here: Delaunay triangulation (scipy) of structured point clouds with hole
+carving and boundary snapping — enough to reproduce the test geometries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mesh import Mesh
+
+
+def rectangle_with_hole(
+    p0, p1, center, radius, resolution=32, circle_pts=None
+):
+    """Channel [p0, p1] minus a circular hole (DFG cylinder benchmark shape,
+    ``test_flow_pass_cylinder.py:56-68``)."""
+    from scipy.spatial import Delaunay
+
+    x0, y0 = p0
+    x1, y1 = p1
+    cx, cy = center
+    nx = int(resolution * (x1 - x0) / (y1 - y0))
+    ny = resolution
+    xs = np.linspace(x0, x1, nx + 1)
+    ys = np.linspace(y0, y1, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    # drop grid points too close to / inside the circle
+    d = np.linalg.norm(pts - [cx, cy], axis=1)
+    h = (y1 - y0) / ny
+    pts = pts[d > radius + 0.35 * h]
+    # add circle boundary points (2 rings for quality)
+    n_circ = circle_pts or max(int(2 * np.pi * radius / h), 16)
+    th = np.linspace(0, 2 * np.pi, n_circ, endpoint=False)
+    ring = np.stack([cx + radius * np.cos(th), cy + radius * np.sin(th)], axis=1)
+    ring2 = np.stack(
+        [cx + (radius + h) * np.cos(th + np.pi / n_circ),
+         cy + (radius + h) * np.sin(th + np.pi / n_circ)], axis=1
+    )
+    inside_domain = (
+        (ring2[:, 0] > x0) & (ring2[:, 0] < x1)
+        & (ring2[:, 1] > y0) & (ring2[:, 1] < y1)
+    )
+    pts = np.concatenate([pts, ring, ring2[inside_domain]], axis=0)
+    tri = Delaunay(pts)
+    cells = tri.simplices
+    mids = pts[cells].mean(axis=1)
+    keep = np.linalg.norm(mids - [cx, cy], axis=1) > radius * 0.999
+    # drop degenerate slivers along the circle
+    def tri_quality(c):
+        a, b, cc = pts[c[:, 0]], pts[c[:, 1]], pts[c[:, 2]]
+        area = 0.5 * np.abs(
+            (b[:, 0] - a[:, 0]) * (cc[:, 1] - a[:, 1])
+            - (cc[:, 0] - a[:, 0]) * (b[:, 1] - a[:, 1])
+        )
+        lmax = np.maximum(
+            np.linalg.norm(b - a, axis=1),
+            np.maximum(np.linalg.norm(cc - b, axis=1),
+                       np.linalg.norm(a - cc, axis=1)),
+        )
+        return area / np.maximum(lmax**2, 1e-300)
+
+    keep &= tri_quality(cells) > 1e-3
+    cells = cells[keep]
+    used = np.unique(cells.ravel())
+    remap = -np.ones(pts.shape[0], dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    return Mesh(pts[used], remap[cells])
+
+
+def elbow_mesh(resolution=24, three_d=False):
+    """The reference's 2D elbow test geometry
+    (``test_cfd_solver.py:67-75``): union of a vertical duct x in [0,1],
+    y in [0,4] and a horizontal duct x in [0,4] (approximated), y in [3,4]."""
+    from scipy.spatial import Delaunay
+
+    h = 1.0 / resolution
+    pts = []
+    for x in np.arange(0, 1 + h / 2, h):
+        for y in np.arange(0, 4 + h / 2, h):
+            pts.append((x, y))
+    for x in np.arange(1 + h, 4 + h / 2, h):
+        for y in np.arange(3, 4 + h / 2, h):
+            pts.append((x, y))
+    pts = np.asarray(pts)
+    tri = Delaunay(pts)
+    cells = tri.simplices
+    mids = pts[cells].mean(axis=1)
+    inside = (mids[:, 0] <= 1.0) | (mids[:, 1] >= 3.0)
+    cells = cells[inside]
+    used = np.unique(cells.ravel())
+    remap = -np.ones(pts.shape[0], dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    return Mesh(pts[used], remap[cells])

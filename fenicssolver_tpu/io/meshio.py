@@ -95,6 +95,39 @@ def read_mesh_function_xml(filename, dtype=np.int64):
     return dim, values
 
 
+def write_dolfin_xml(filename, mesh):
+    """Write legacy dolfin XML (so cases remain interoperable with dolfin)."""
+    celltype = {1: "interval", 2: "triangle", 3: "tetrahedron"}[mesh.tdim]
+    axes = ["x", "y", "z"][: mesh.gdim]
+    with open(filename, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n\n')
+        f.write('<dolfin xmlns:dolfin="http://www.fenicsproject.org">\n')
+        f.write(f'  <mesh celltype="{celltype}" dim="{mesh.gdim}">\n')
+        f.write(f'    <vertices size="{mesh.num_vertices()}">\n')
+        for i, xyz in enumerate(mesh.coords):
+            attrs = " ".join(f'{a}="{v:.16e}"' for a, v in zip(axes, xyz))
+            f.write(f'      <vertex index="{i}" {attrs}/>\n')
+        f.write("    </vertices>\n")
+        f.write(f'    <cells size="{mesh.num_cells()}">\n')
+        for i, c in enumerate(mesh.cells_array):
+            attrs = " ".join(f'v{k}="{v}"' for k, v in enumerate(c))
+            f.write(f'      <{celltype} index="{i}" {attrs}/>\n')
+        f.write("    </cells>\n  </mesh>\n</dolfin>\n")
+
+
+def write_mesh_function_xml(filename, mesh_function):
+    with open(filename, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<dolfin xmlns:dolfin="http://fenicsproject.org">\n')
+        f.write(
+            f'  <mesh_function type="uint" dim="{mesh_function.dim}" '
+            f'size="{mesh_function.size()}">\n'
+        )
+        for i, v in enumerate(mesh_function.values):
+            f.write(f'    <entity index="{i}" value="{int(v)}"/>\n')
+        f.write("  </mesh_function>\n</dolfin>\n")
+
+
 def read_hdf5(filename):
     """dolfin HDF5 layout: /mesh (topology+coordinates), /subdomains,
     /boundaries (reference: ``SolverBase.py:203-221``)."""

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-DENSE_LIMIT = 6000  # beyond this, densifying is wasteful: use Krylov
+DENSE_LIMIT = 12000  # beyond this, densifying is wasteful: use Krylov
 
 
 def dense_solve(A, b):

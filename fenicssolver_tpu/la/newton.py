@@ -50,6 +50,13 @@ def newton_solve(
         u = u + relax * du
         r = residual_fn(u)
         norm = float(jnp.linalg.norm(r))
+        # increment criterion (dolfin Newton's convergence_criterion
+        # "incremental" analog): stop at the linear-solver noise floor
+        step = float(jnp.linalg.norm(du)) / max(float(jnp.linalg.norm(u)), 1e-300)
+        if np.isfinite(norm) and step < 1e-12:
+            if logger:
+                logger.info("Newton %d: increment converged (step %.3e)", it, step)
+            return u, it, True
         if logger:
             logger.info(
                 "Newton %d: residual %.6e (rel %.3e)", it, norm, norm / max(norm0, 1e-300)

@@ -75,17 +75,14 @@ def build_pattern(cell_dofs_list, ndof):
         keys.append(rows * ndof + cols)
         sizes.append(rows.size)
     all_keys = np.concatenate(keys)
-    uniq, inverse = np.unique(all_keys, return_inverse=True)
-    nnz = uniq.size
-    rows_u = (uniq // ndof).astype(np.int32)
-    cols_u = (uniq % ndof).astype(np.int32)
-    indptr = np.zeros(ndof + 1, dtype=np.int32)
-    np.add.at(indptr[1:], rows_u, 1)
-    indptr = np.cumsum(indptr).astype(np.int32)
+    from .. import native as _native
+
+    inverse, indptr, cols_u, rows_u = _native.build_csr_pattern(all_keys, ndof)
+    nnz = cols_u.size
     positions = []
     off = 0
     for s in sizes:
-        positions.append(jnp.asarray(inverse[off : off + s].astype(np.int32)))
+        positions.append(jnp.asarray(inverse[off : off + s]))
         off += s
     pattern = CSRPattern(
         indptr=jnp.asarray(indptr),

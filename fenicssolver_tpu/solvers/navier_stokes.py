@@ -214,6 +214,10 @@ class CoupledNavierStokesSolver(SolverBase):
             cond = float(self.material.get("thermal_conductivity", 0.6))
             cp = float(self.material.get("specific_heat_capacity", 4200.0))
             capacity = rho * cp
+            # SUPG-stabilized temperature block (the reference wires an IP-
+            # stabilized ScalarTransportSolver into the mixed form, :247-286;
+            # same purpose: advection-dominated T would oscillate unstabilized)
+            aux["hT"] = jnp.asarray(2.0 * mesh.cell_circumradius())
 
         def split_w(we):
             U = we[:nu_off].reshape(kv, d)
@@ -276,7 +280,7 @@ class CoupledNavierStokesSolver(SolverBase):
                 if Re <= 1:
                     delta1 = k1 * h * h
                 else:
-                    U0sq = jnp.sum(adv * adv, axis=1) + 1e-300
+                    U0sq = jnp.sum(adv * adv, axis=1) + 1e-30
                     if transient:
                         delta1 = (
                             k1 / 2.0 / jnp.sqrt(1.0 / (dt * dt) + U0sq / (h * h))
@@ -297,14 +301,25 @@ class CoupledNavierStokesSolver(SolverBase):
             parts = [r_v.reshape(-1), r_p]
             if solving_T:
                 gT = jnp.einsum("qkg,k->qg", dphig_p, T)
+                # SUPG test function psi = phi + tau (u . grad phi); tau with
+                # the standard advective/diffusive limiter (finite at u -> 0)
+                vnorm = jnp.sqrt(jnp.sum(adv * adv, axis=1) + 1e-30)
+                h = aux_e["hT"]
+                kdiff = cond / capacity
+                tau = 1.0 / jnp.sqrt(
+                    (2.0 * vnorm / h) ** 2 + (4.0 * kdiff / (h * h)) ** 2 + 1e-30
+                )
+                psi_T = phi_p + tau[:, None] * jnp.einsum(
+                    "qg,qkg->qk", adv, dphig_p
+                )
                 r_T = jnp.einsum("q,qg,qkg->k", wdet, cond * gT, dphig_p)
-                advT = jnp.einsum("qg,qg->q", adv if not mesh_vel else adv, gT)
-                r_T = r_T + capacity * jnp.einsum("q,q,qk->k", wdet, advT, phi_p)
+                advT = jnp.einsum("qg,qg->q", adv, gT)
+                r_T = r_T + capacity * jnp.einsum("q,q,qk->k", wdet, advT, psi_T)
                 if transient:
                     _, _, T0 = split_w(aux_e["wprev"])
                     T0_q = phi_p @ T0
                     r_T = r_T + capacity * jnp.einsum(
-                        "q,q,qk->k", wdet, (T_q - T0_q) / dt, phi_p
+                        "q,q,qk->k", wdet, (T_q - T0_q) / dt, psi_T
                     )
                 parts.append(r_T)
             return jnp.concatenate(parts)
