@@ -1,0 +1,273 @@
+"""Smoothed-aggregation algebraic multigrid.
+
+TPU-native replacement for the reference's PETSc ``petsc_amg`` smoothed
+aggregation with Chebyshev/Jacobi smoothing and rigid-body near-nullspace
+(``SolverBase.py:643-705``).  The hierarchy is built once on the host
+(scipy sparse algebra — setup path); the V-cycle runs on device: every
+level's operator, prolongator and restriction live as jnp CSR arrays and the
+cycle is a fixed-depth jit-compatible function used as a CG preconditioner.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .sparse import CSRMatrix, csr_from_scipy
+
+
+def _strength_graph(A, theta):
+    """Symmetric strength-of-connection filter."""
+    import scipy.sparse as sp
+
+    d = np.sqrt(np.abs(A.diagonal()))
+    d[d == 0] = 1.0
+    C = A.tocoo()
+    keep = np.abs(C.data) >= theta * d[C.row] * d[C.col]
+    keep |= C.row == C.col
+    return sp.csr_matrix(
+        (C.data[keep], (C.row[keep], C.col[keep])), shape=A.shape
+    )
+
+
+def _aggregate(S):
+    """Greedy standard aggregation on the strength graph -> agg id per node.
+
+    Native C++ fast path (``native.aggregate``) with a python fallback."""
+    from .. import native as _native
+
+    n = S.shape[0]
+    out = _native.aggregate(S.indptr, S.indices, n)
+    if out is not None:
+        return out
+    agg = -np.ones(n, dtype=np.int64)
+    indptr, indices = S.indptr, S.indices
+    n_agg = 0
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        if (agg[nbrs] >= 0).any():
+            continue
+        agg[i] = n_agg
+        agg[nbrs] = n_agg
+        n_agg += 1
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        cand = agg[nbrs]
+        cand = cand[cand >= 0]
+        agg[i] = cand[0] if len(cand) else n_agg
+        if not len(cand):
+            n_agg += 1
+    return agg, n_agg
+
+
+def _tentative_prolongator(agg, n_agg, B):
+    """Near-nullspace-preserving tentative P (per-aggregate QR).
+
+    B: (n, k) near-nullspace block (k=1 constants for scalar problems,
+    rigid-body modes for elasticity)."""
+    import scipy.sparse as sp
+
+    n, k = B.shape
+    rows, cols, vals = [], [], []
+    Bc = np.zeros((n_agg * k, k))
+    order = np.argsort(agg, kind="stable")
+    agg_sorted = agg[order]
+    bounds = np.searchsorted(agg_sorted, np.arange(n_agg + 1))
+    sizes = np.diff(bounds)
+    # batch the per-aggregate QRs by aggregate size (vectorized np.linalg.qr)
+    for m in np.unique(sizes):
+        a_ids = np.nonzero(sizes == m)[0]
+        if m == 0:
+            continue
+        idx = np.stack(
+            [order[bounds[a] : bounds[a] + m] for a in a_ids]
+        )  # (na, m)
+        Bblk = B[idx]  # (na, m, k)
+        Q, R = np.linalg.qr(Bblk)  # (na, m, kk), (na, kk, k)
+        kk = min(int(m), k)
+        for j in range(kk):
+            rows.append(idx.reshape(-1))
+            cols.append(np.repeat(a_ids * k + j, m))
+            vals.append(Q[:, :, j].reshape(-1))
+        for t, a in enumerate(a_ids):
+            Bc[a * k : a * k + kk, :] = R[t, :kk, :]
+    P = sp.csr_matrix(
+        (
+            np.concatenate(vals),
+            (np.concatenate(rows), np.concatenate(cols)),
+        ),
+        shape=(n, n_agg * k),
+    )
+    return P, Bc
+
+
+class AMGPreconditioner:
+    """V(1,1)-cycle smoothed-aggregation preconditioner."""
+
+    def __init__(
+        self,
+        A_scipy,
+        nullspace=None,
+        theta=0.08,
+        max_levels=10,
+        coarse_size=300,
+        omega=4.0 / 3.0,
+        presmooth=2,
+        postsmooth=2,
+        free_mask=None,
+    ):
+        """``free_mask``: 0/1 per dof; constrained (identity) rows are
+        excluded from the hierarchy — they would otherwise persist as
+        uncoarsenable singleton aggregates on every level."""
+        import scipy.sparse as sp
+
+        self.presmooth = presmooth
+        self.postsmooth = postsmooth
+        A_full = A_scipy.tocsr()
+        if free_mask is not None:
+            free = np.asarray(free_mask).astype(bool)
+            self._free_idx = jnp.asarray(np.nonzero(free)[0])
+            self._n_full = A_full.shape[0]
+            self._free_np = free
+            A = A_full[free][:, free].tocsr()
+        else:
+            self._free_idx = None
+            A = A_full
+        levels = []
+        n = A.shape[0]
+        B = (
+            np.asarray(nullspace)
+            if nullspace is not None
+            else np.ones((n, 1))
+        )
+        if free_mask is not None and nullspace is not None:
+            B = B[free]
+        while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
+            S = _strength_graph(A, theta)
+            agg, n_agg = _aggregate(S)
+            P0, Bc = _tentative_prolongator(agg, n_agg, B)
+            # Jacobi-smoothed prolongator: P = (I - omega D^-1 A) P0
+            Dinv = sp.diags(1.0 / np.maximum(A.diagonal(), 1e-300))
+            # estimate spectral radius of D^-1 A with a few power iterations
+            x = np.sin(np.arange(A.shape[0], dtype=np.float64))
+            DA = Dinv @ A
+            lam = 2.0
+            for _ in range(8):
+                x = DA @ x
+                nx = np.linalg.norm(x)
+                if nx == 0:
+                    break
+                lam = nx if _ == 7 else lam
+                x /= nx
+            P = (sp.eye(A.shape[0]) - (omega / lam) * (Dinv @ A)) @ P0
+            P = sp.csr_matrix(P)
+            Ac = (P.T @ A @ P).tocsr()
+            levels.append(
+                dict(
+                    A=csr_from_scipy(A),
+                    diag=jnp.asarray(np.maximum(A.diagonal(), 1e-300)),
+                    P=csr_from_scipy_rect(P),
+                    R=csr_from_scipy_rect(sp.csr_matrix(P.T)),
+                )
+            )
+            A = Ac
+            B = Bc
+            if A.shape[0] <= coarse_size:
+                break
+        self.coarse_dense = jnp.asarray(
+            np.linalg.pinv(A.toarray())
+        )  # pinv: robust to the singular all-Neumann coarse limit
+        self.levels = levels
+
+    def __call__(self, b):
+        if self._free_idx is None:
+            return self._vcycle(0, b)
+        bf = b[self._free_idx]
+        xf = self._vcycle(0, bf)
+        # identity on constrained dofs
+        out = b.at[self._free_idx].set(xf)
+        return out
+
+    def _vcycle(self, li, b):
+        if li == len(self.levels):
+            return self.coarse_dense @ b
+        lv = self.levels[li]
+        A, diag = lv["A"], lv["diag"]
+        omega = 2.0 / 3.0
+        x = jnp.zeros_like(b)
+        for _ in range(self.presmooth):
+            x = x + omega * (b - A.matvec(x)) / diag
+        r = b - A.matvec(x)
+        rc = rect_matvec(lv["R"], r)
+        ec = self._vcycle(li + 1, rc)
+        x = x + rect_matvec(lv["P"], ec)
+        for _ in range(self.postsmooth):
+            x = x + omega * (b - A.matvec(x)) / diag
+        return x
+
+
+# rectangular CSR support (prolongators)
+from typing import NamedTuple
+
+
+class RectCSR(NamedTuple):
+    indptr: jnp.ndarray
+    indices: jnp.ndarray
+    rows: jnp.ndarray
+    data: jnp.ndarray
+    shape: tuple
+
+
+def csr_from_scipy_rect(S):
+    S = S.tocsr()
+    rows = np.repeat(
+        np.arange(S.shape[0], dtype=np.int32), np.diff(S.indptr)
+    )
+    return RectCSR(
+        indptr=jnp.asarray(S.indptr.astype(np.int32)),
+        indices=jnp.asarray(S.indices.astype(np.int32)),
+        rows=jnp.asarray(rows),
+        data=jnp.asarray(S.data),
+        shape=S.shape,
+    )
+
+
+def rect_matvec(M: RectCSR, x):
+    import jax
+
+    prod = M.data * x[M.indices]
+    return jax.ops.segment_sum(prod, M.rows, num_segments=M.shape[0])
+
+
+def rigid_body_modes(coords, vdim):
+    """Near-nullspace block for elasticity (reference ``build_nullspace``,
+    ``SolverBase.py:674-705``): translations + rotations, node-major dofs."""
+    n = coords.shape[0]
+    if vdim == 2:
+        B = np.zeros((n * 2, 3))
+        B[0::2, 0] = 1.0
+        B[1::2, 1] = 1.0
+        B[0::2, 2] = -coords[:, 1]
+        B[1::2, 2] = coords[:, 0]
+    elif vdim == 3:
+        B = np.zeros((n * 3, 6))
+        for c in range(3):
+            B[c::3, c] = 1.0
+        # rotations about z, x, y
+        B[0::3, 3] = -coords[:, 1]
+        B[1::3, 3] = coords[:, 0]
+        B[1::3, 4] = -coords[:, 2]
+        B[2::3, 4] = coords[:, 1]
+        B[2::3, 5] = coords[:, 2] * 0 + coords[:, 2] * 0  # filled below
+        B[0::3, 5] = coords[:, 2]
+        B[2::3, 5] = -coords[:, 0]
+    else:
+        B = np.ones((n, 1))
+        return B
+    # orthonormalize
+    Q, _ = np.linalg.qr(B)
+    return Q

@@ -47,6 +47,8 @@ def _load():
         ]
         lib.build_ell.restype = ctypes.c_int64
         lib.build_ell.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p]
+        lib.aggregate.restype = ctypes.c_int64
+        lib.aggregate.argtypes = [i32p, i32p, ctypes.c_int64, i64p]
         _lib = lib
     except Exception:
         _lib = None
@@ -130,6 +132,22 @@ def build_facets(cells):
         facet_cells.reshape(nf, 2),
         facet_local.reshape(nf, 2),
     )
+
+
+def aggregate(indptr, indices, n):
+    """Greedy aggregation for AMG; returns (agg ids (n,), n_aggregates) or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    agg = np.empty(n, dtype=np.int64)
+    n_agg = lib.aggregate(
+        _ptr(indptr, ctypes.c_int32), _ptr(indices, ctypes.c_int32), n,
+        _ptr(agg, ctypes.c_int64),
+    )
+    return agg, int(n_agg)
 
 
 def build_ell(indptr, indices, ndof):

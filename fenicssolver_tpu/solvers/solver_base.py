@@ -603,16 +603,31 @@ class SolverBase:
         return u_current
 
     def solve_amg(self, form, u, dirichlet):
-        """AMG path (reference ``SolverBase.py:643-672``): currently a
-        Chebyshev-Jacobi preconditioned CG with the same call surface; a
-        smoothed-aggregation AMG is the planned upgrade (SURVEY.md §7.3)."""
+        """Smoothed-aggregation AMG-preconditioned CG with rigid-body
+        near-nullspace for vector problems (reference ``SolverBase.py:643-705``:
+        petsc_amg + Chebyshev/Jacobi smoothers + ``build_nullspace``)."""
+        from ..la.amg import AMGPreconditioner, rigid_body_modes
+
         A, b = assembly.assemble_linear_system(form, dtype=u.values.dtype)
         free = dirichlet.free_mask if dirichlet and dirichlet.any else jnp.ones_like(b)
         ubc = dirichlet.u_bc if dirichlet and dirichlet.any else jnp.zeros_like(b)
         rhs = assembly.constrained_rhs(A.matvec, b, free, ubc)
         op = assembly.constrained_operator(A.matvec, free)
-        diag = free * A.diagonal() + (1.0 - free)
-        M = krylov.chebyshev_preconditioner(op, diag, degree=5)
+        nullspace = None
+        if isinstance(self.function_space, VectorFunctionSpace):
+            nullspace = rigid_body_modes(
+                self.function_space.scalar_space.dof_coords,
+                self.function_space.vdim,
+            )
+        Ac = assembly.constrain_csr(A, free)
+        try:
+            M = AMGPreconditioner(
+                Ac.to_scipy(), nullspace=nullspace, free_mask=np.asarray(free)
+            )
+        except Exception as e:  # robust fallback: Chebyshev-Jacobi
+            self.logger.warning("AMG setup failed (%s); Chebyshev fallback", e)
+            diag = free * A.diagonal() + (1.0 - free)
+            M = krylov.chebyshev_preconditioner(op, diag, degree=5)
         sp = self._solver_params()
         x, it, res = krylov.cg(
             op, rhs, M=M, tol=sp.get("relative_tolerance", 1e-8), maxiter=10000

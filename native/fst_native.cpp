@@ -182,4 +182,44 @@ int64_t build_ell(const int32_t* indptr, const int32_t* indices, int64_t ndof,
   return W;
 }
 
+// ---------------------------------------------------------------------------
+// Greedy standard aggregation on a strength graph (smoothed-aggregation AMG
+// setup; the PETSc GAMG graph-coarsening analog).  Returns #aggregates.
+// ---------------------------------------------------------------------------
+int64_t aggregate(const int32_t* indptr, const int32_t* indices, int64_t n,
+                  int64_t* agg) {
+  for (int64_t i = 0; i < n; ++i) agg[i] = -1;
+  int64_t n_agg = 0;
+  // pass 1: seed aggregates from fully-unaggregated neighborhoods
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] >= 0) continue;
+    bool clean = true;
+    for (int32_t t = indptr[i]; t < indptr[i + 1]; ++t) {
+      if (agg[indices[t]] >= 0) {
+        clean = false;
+        break;
+      }
+    }
+    if (!clean) continue;
+    agg[i] = n_agg;
+    for (int32_t t = indptr[i]; t < indptr[i + 1]; ++t)
+      agg[indices[t]] = n_agg;
+    ++n_agg;
+  }
+  // pass 2: attach leftovers to the most-connected neighboring aggregate
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] >= 0) continue;
+    int64_t best = -1;
+    for (int32_t t = indptr[i]; t < indptr[i + 1]; ++t) {
+      const int64_t a = agg[indices[t]];
+      if (a >= 0) {
+        best = a;
+        break;
+      }
+    }
+    agg[i] = best >= 0 ? best : n_agg++;
+  }
+  return n_agg;
+}
+
 }  // extern "C"

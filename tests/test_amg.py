@@ -1,0 +1,118 @@
+"""Smoothed-aggregation AMG tests (reference ``solve_amg`` parity,
+``SolverBase.py:643-705``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicssolver_tpu.core import (
+    AutoSubDomain,
+    BoxMesh,
+    Constant,
+    FunctionSpace,
+    Point,
+    UnitCubeMesh,
+    VectorFunctionSpace,
+    near,
+)
+from fenicssolver_tpu.la import krylov
+from fenicssolver_tpu.la.amg import AMGPreconditioner, rigid_body_modes
+from fenicssolver_tpu.ops import assembly, geometry
+
+
+def _poisson_system(n=14):
+    mesh = UnitCubeMesh(n, n, n)
+    V = FunctionSpace(mesh, "CG", 1)
+    tab = geometry.basis_tables(3, 1, 2)
+    phi, dphi, qw = (jnp.asarray(tab.phi), jnp.asarray(tab.dphi),
+                     jnp.asarray(tab.qw))
+
+    def kernel(ue, geom, aux):
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        g = geometry.interp_grad(dphig, ue)
+        return (jnp.einsum("q,qg,qig->i", qw, g, dphig)
+                - jnp.einsum("q,qi->i", qw, phi)) * geom.detJ
+
+    ctx = geometry.build_cell_context(V, 2)
+    form = assembly.Form(space=V)
+    form.cell_terms.append(assembly.CellTerm(kernel=kernel, ctx=ctx))
+    form.finalize()
+    A, b = assembly.assemble_linear_system(form)
+    dd = assembly.DirichletData(V.ndof)
+    dd.add(V.facet_dofs(mesh.exterior_facets()), 0.0)
+    dd.finalize()
+    return A, b, dd
+
+
+def test_amg_accelerates_poisson():
+    A, b, dd = _poisson_system(14)
+    Ac = assembly.constrain_csr(A, dd.free_mask)
+    rhs = assembly.constrained_rhs(A.matvec, b, dd.free_mask, dd.u_bc)
+    amg = AMGPreconditioner(Ac.to_scipy(), free_mask=np.asarray(dd.free_mask))
+    # hierarchy actually coarsens
+    sizes = [int(l["A"].pattern.n) for l in amg.levels]
+    assert len(sizes) >= 1 and sizes[0] > 4 * (
+        amg.coarse_dense.shape[0] if len(sizes) == 1 else sizes[-1] // 4
+    )
+    x_amg, it_amg, res = krylov.cg(Ac.matvec, rhs, M=amg, tol=1e-10, maxiter=200)
+    diag = dd.free_mask * A.diagonal() + (1 - dd.free_mask)
+    x_j, it_j, _ = krylov.cg(
+        Ac.matvec, rhs, M=krylov.jacobi_preconditioner(diag),
+        tol=1e-10, maxiter=3000,
+    )
+    assert float(res) < 1e-9
+    assert int(it_amg) < int(it_j) / 2  # at least 2x fewer iterations
+    err = np.linalg.norm(np.asarray(x_amg - x_j)) / np.linalg.norm(np.asarray(x_j))
+    assert err < 1e-8
+
+
+def test_solve_amg_elasticity_with_nullspace():
+    """3D cantilever through the solver's AMG path with rigid-body modes."""
+    from fenicssolver_tpu.solvers.linear_elasticity import LinearElasticitySolver
+    from tests.test_linear_elasticity import solver_settings, E_mod
+
+    L = 5.0
+    mesh = BoxMesh(Point(0, 0, 0), Point(L, 1, 1), 15, 3, 3)
+    V = VectorFunctionSpace(mesh, "CG", 1)
+    left = AutoSubDomain(lambda x: near(x[0], 0.0))
+    right = AutoSubDomain(lambda x: near(x[0], L))
+    Fy = 1e6
+    bcs = {
+        "fixed": {"boundary": left, "boundary_id": 1, "type": "Dirichlet",
+                  "value": Constant((0, 0, 0))},
+        "tip": {"boundary": right, "boundary_id": 2, "type": "force",
+                "value": (0.0, Fy, 0.0)},
+    }
+    settings = solver_settings(V, bcs)
+    solver = LinearElasticitySolver(settings)
+    # force the AMG path regardless of size threshold
+    solver.solve_form = lambda F, u_, bcs_: solver.solve_amg(F, u_, bcs_)
+    u = solver.solve()
+    U = u.values.reshape(-1, 3)
+    assert np.isfinite(U).all()
+    X = V.scalar_space.dof_coords
+    tip = np.abs(X[:, 0] - L) < 1e-9
+    tip_defl = U[tip, 1].mean()
+    I = 1.0 / 12.0
+    beam = Fy * L**3 / (3 * E_mod * I)
+    # P1 shear-locking underestimates; just require the right ballpark
+    assert 0.3 * beam < tip_defl < 1.5 * beam, (tip_defl, beam)
+
+
+def test_rigid_body_modes_in_kernel():
+    """K @ rigid-body modes ~ 0 for an unconstrained elasticity operator."""
+    from fenicssolver_tpu.solvers.linear_elasticity import LinearElasticitySolver
+    from tests.test_linear_elasticity import solver_settings
+
+    mesh = BoxMesh(Point(0, 0, 0), Point(1, 1, 1), 3, 3, 3)
+    V = VectorFunctionSpace(mesh, "CG", 1)
+    bcs = {}
+    solver = LinearElasticitySolver(solver_settings(V, bcs))
+    solver.init_solver()
+    solver.current_step, solver.current_time = 0, 0.0
+    form, dd = solver.generate_form(0, None, None, solver.w_current, solver.w_prev)
+    A, _ = assembly.assemble_linear_system(form)
+    B = rigid_body_modes(V.scalar_space.dof_coords, 3)
+    KB = np.stack([np.asarray(A.matvec(jnp.asarray(B[:, j]))) for j in range(6)])
+    scale = float(jnp.abs(A.data).max())
+    assert np.abs(KB).max() < 1e-8 * scale
