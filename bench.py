@@ -23,30 +23,19 @@ import numpy as np
 
 
 def build_problem(n):
-    import jax.numpy as jnp
-
+    """Host-side geometry only: the TPU run uploads just (dofs, Jinv, detJ)."""
     from fenicssolver_tpu.core import FunctionSpace, UnitCubeMesh
-    from fenicssolver_tpu.ops import assembly, geometry
 
     mesh = UnitCubeMesh(n, n, n)
     V = FunctionSpace(mesh, "CG", 1)
-    tab = geometry.basis_tables(mesh.tdim, 1, 2)
-    phi = jnp.asarray(tab.phi.astype(np.float32))
-    dphi = jnp.asarray(tab.dphi.astype(np.float32))
-    qw = jnp.asarray(tab.qw.astype(np.float32))
-
-    def kernel(ue, geom, aux):
-        dphig = geometry.phys_grads(dphi, geom.Jinv)
-        g = geometry.interp_grad(dphig, ue)
-        r = jnp.einsum("q,qg,qig->i", qw, g, dphig) * geom.detJ
-        return r - jnp.einsum("q,qi->i", qw, phi) * geom.detJ
-
-    ctx = geometry.build_cell_context(V, 2)
+    X = mesh.coords[mesh.cells_array].astype(np.float32)
+    J = np.swapaxes(X[:, 1:, :] - X[:, :1, :], 1, 2)
+    detJ = np.abs(np.linalg.det(J)).astype(np.float32)
+    Jinv = np.linalg.inv(J).astype(np.float32)
     bd = V.facet_dofs(mesh.exterior_facets())
-    dd = assembly.DirichletData(V.ndof, dtype=np.float32)
-    dd.add(bd, 0.0)
-    dd.finalize()
-    return mesh, V, kernel, ctx, dd
+    free = np.ones(V.ndof, dtype=np.float32)
+    free[bd] = 0.0
+    return mesh, V, Jinv, detJ, free
 
 
 def tpu_run(n, tol, maxiter):
@@ -54,42 +43,32 @@ def tpu_run(n, tol, maxiter):
     import jax.numpy as jnp
     from fenicssolver_tpu.ops import geometry
 
-    mesh, V, kernel, ctx, dd = build_problem(n)
+    mesh, V, Jinv_np, detJ_np, free_np = build_problem(n)
     ndof = V.ndof
-    free = dd.free_mask.astype(jnp.float32)
+    free = jnp.asarray(free_np)
     # TPU layout: keep the huge cell axis LAST so (8,128) tiling pads the
     # small dof/space axes by ~1x instead of 32x (struct-of-arrays)
-    cd = np.asarray(ctx.cell_dofs)
-    dofs_T = jnp.asarray(cd.T)  # (4, nc)
-    JinvT = jnp.asarray(np.ascontiguousarray(
-        np.moveaxis(np.asarray(ctx.Jinv, dtype=np.float32), 0, -1)
-    ))  # (3, 3, nc)
-    detJ_T = jnp.asarray(np.asarray(ctx.detJ, dtype=np.float32))  # (nc,)
+    cd = np.asarray(V.cell_dofs)
+    dofs_T = jnp.asarray(cd.T.copy())  # (4, nc)
+    JinvT = jnp.asarray(np.ascontiguousarray(np.moveaxis(Jinv_np, 0, -1)))
+    detJ_T = jnp.asarray(detJ_np)  # (nc,)
     gref = jnp.asarray(
         np.array(
             [[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32
         )
     )
 
-    # --- ELLPACK sparsity (setup, host): one scatter at assembly time, then
-    # the CG loop is gather-only (TPU scatters serialize; gathers stream) ---
+    # --- ELLPACK sparsity (setup, host, native C++): one scatter at assembly
+    # time, then the CG loop is gather-only (TPU scatters serialize) ---
+    from fenicssolver_tpu import native
+
     nc, k = cd.shape
     rows = np.repeat(cd, k, axis=1).ravel().astype(np.int64)
     cols = np.tile(cd, (1, k)).ravel().astype(np.int64)
     keys = rows * ndof + cols
-    uniq, inverse = np.unique(keys, return_inverse=True)
-    r_u = (uniq // ndof).astype(np.int64)
-    c_u = (uniq % ndof).astype(np.int32)
-    counts = np.bincount(r_u, minlength=ndof)
-    W = int(counts.max())
-    slot = np.arange(len(r_u)) - np.concatenate(
-        ([0], np.cumsum(counts)[:-1])
-    )[r_u]
-    # ELL transposed: (W, ndof); empty slots -> self index with zero data
-    ell_idx = np.tile(np.arange(ndof, dtype=np.int32), (W, 1))
-    ell_idx[slot, r_u] = c_u
-    ell_pos = (slot * ndof + r_u).astype(np.int32)  # nnz -> flat ELL slot
-    pos = jnp.asarray(ell_pos[inverse].reshape(nc, k * k).T)  # (16, nc)
+    inverse, indptr, indices, _rows_u = native.build_csr_pattern(keys, ndof)
+    W, ell_idx, ell_pos = native.build_ell(indptr, indices, ndof)
+    pos = jnp.asarray(ell_pos[inverse].reshape(nc, k * k).T.copy())  # (16, nc)
     ell_idx_T = jnp.asarray(ell_idx)
 
     @jax.jit
@@ -207,20 +186,75 @@ def cpu_baseline(n, tol, maxiter):
     return ndof, dt, niter[0], x
 
 
+def _child_main(n, tol):
+    """Run the TPU measurement in a child process (crash/hang isolation:
+    the axon TPU tunnel occasionally wedges; the parent retries smaller)."""
+    ndof, dt, iters, res, x = tpu_run(n, tol, maxiter=3000)
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            dict(ndof=ndof, dt=dt, iters=iters, res=res, umax=float(np.max(x)))
+        )
+    )
+
+
+def _run_tpu_with_fallback(sizes, tol, timeout_s=300):
+    import subprocess
+
+    for n in sizes:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-child", str(n)],
+                capture_output=True,
+                timeout=timeout_s,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("CHILD_RESULT "):
+                    d = json.loads(line[len("CHILD_RESULT "):])
+                    return d, n
+            sys.stderr.write(
+                f"bench child n={n} failed (rc={out.returncode}); retrying\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench child n={n} timed out; retrying smaller\n")
+    return None, None
+
+
 def main():
     tol = 1e-6
-    n_tpu = int(os.environ.get("BENCH_N", "96"))  # (n+1)^3 dofs ~ 0.91M
-    n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child":
+        _child_main(int(sys.argv[2]), tol)
+        return
 
-    ndof, dt, iters, res, x = tpu_run(n_tpu, tol, maxiter=3000)
+    n_tpu = int(os.environ.get("BENCH_N", "64"))  # 275k dofs; n=96 (0.91M)
+    # OOMs HBM and can wedge the axon tunnel for ~1h — raise only after the
+    # memory profile improves (see MEMORY: axon-tpu-tunnel-wedging)
+    n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
+    sizes = sorted({n_tpu, 64, 48, 32}, reverse=True)
+    sizes = [s for s in sizes if s <= n_tpu]
+    d, n_used = _run_tpu_with_fallback(sizes, tol)
+    if d is None:
+        # last resort: measure the same jitted program on the CPU backend so
+        # the driver still records a data point
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        ndof, dt, iters, res, x = tpu_run(48, tol, maxiter=3000)
+        d = dict(ndof=ndof, dt=dt, iters=iters, res=res, umax=float(np.max(x)))
+        d["note"] = "TPU unavailable: measured on CPU backend"
+    ndof, dt, iters, res = d["ndof"], d["dt"], d["iters"], d["res"]
+    umax_tpu_val = d["umax"]
     tpu_dofs_per_sec = ndof / dt
 
     ndof_c, dt_c, iters_c, x_c = cpu_baseline(n_cpu, tol, maxiter=3000)
     cpu_dofs_per_sec = ndof_c / dt_c
 
-    # correctness spot check: both solve the same PDE; compare midpoint value
-    # scale-invariantly via the max (u_max ~ 0.0562 for unit cube f=1)
-    umax_tpu = float(np.max(x))
+    # correctness spot check: both solve the same PDE; compare the solution
+    # max scale-invariantly (u_max ~ 0.0562 for the unit cube with f = 1)
+    umax_tpu = umax_tpu_val
     umax_cpu = float(np.max(x_c))
 
     result = {

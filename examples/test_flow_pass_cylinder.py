@@ -79,7 +79,7 @@ def make_settings(resolution=20, transient=False):
 
 def test():
     # steady solve first
-    s = make_settings(16, transient=False)
+    s = make_settings(10, transient=False)
     solver = CoupledNavierStokesSolver(s)
     up0 = solver.solve()
     assert np.isfinite(up0.values).all()
@@ -88,7 +88,7 @@ def test():
     assert drag > 0  # flow pushes the cylinder downstream
 
     # steady -> transient restart idiom (reference :136-139)
-    s2 = make_settings(16, transient=True)
+    s2 = make_settings(10, transient=True)
     s2["initial_values"] = up0
     solver2 = CoupledNavierStokesSolver(s2)
     solver2.using_nonlinear_solver = False  # Picard path
