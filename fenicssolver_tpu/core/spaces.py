@@ -133,8 +133,18 @@ class FunctionSpace(_SpaceBase):
                 self.dof_coords = np.einsum("kv,cvg->ckg", lam, X).reshape(-1, mesh.gdim)
         self.constrained_domain = constrained_domain
         self._periodic_master = None
+        self.periodic_slaves = np.zeros(0, dtype=np.int64)
         if constrained_domain is not None:
             self._build_periodic_map(constrained_domain)
+            # enforce the constraint structurally: element dofs reference the
+            # master, so assembly accumulates periodic pairs together; slave
+            # rows become orphans fixed post-solve (u[slave] = u[master])
+            self.cell_dofs = self._periodic_master[self.cell_dofs].astype(
+                np.int32
+            )
+            self.periodic_slaves = np.nonzero(
+                self._periodic_master != np.arange(self.ndof)
+            )[0]
         self.element = FiniteElement(self.family, mesh.ufl_cell(), self.degree)
 
     # -- periodic constraint (SolverBase.py:264 constrained_domain) ----------
@@ -282,10 +292,21 @@ class VectorFunctionSpace(_SpaceBase):
         self.ndof = s.ndof * self.vdim
         self.ndof_el = s.ndof_el * self.vdim
         # node-major flattened: dof(node i, comp c) = sd*vdim + c
-        cd = s.cell_dofs  # (nc, k)
+        cd = s.cell_dofs  # (nc, k) — already periodic-remapped if constrained
         self.cell_dofs = (
             (cd[:, :, None] * self.vdim) + np.arange(self.vdim)[None, None, :]
         ).reshape(cd.shape[0], -1).astype(np.int32)
+        self.periodic_slaves = (
+            (s.periodic_slaves[:, None] * self.vdim)
+            + np.arange(self.vdim)[None, :]
+        ).reshape(-1)
+        if s._periodic_master is not None:
+            self._periodic_master = (
+                (s._periodic_master[:, None] * self.vdim)
+                + np.arange(self.vdim)[None, :]
+            ).reshape(-1)
+        else:
+            self._periodic_master = None
         self.dof_coords = np.repeat(s.dof_coords, self.vdim, axis=0)
         self.element = VectorElement(
             self.family, mesh.ufl_cell(), self.degree, dim=self.vdim

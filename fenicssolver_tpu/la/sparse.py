@@ -58,12 +58,14 @@ class CSRMatrix(NamedTuple):
         )
 
 
-def build_pattern(cell_dofs_list, ndof):
+def build_pattern(cell_dofs_list, ndof, ensure_diagonal=True):
     """Build a CSR pattern from one or more (n_ent, k) dof maps.
 
     Returns (pattern, positions) where positions[i] maps each (entity, a, b)
     entry of dof map i (flattened) to its nnz slot — the runtime scatter-add
-    target for element matrices.
+    target for element matrices.  ``ensure_diagonal`` adds a (i, i) slot for
+    every dof so constrained/orphan rows (Dirichlet, periodic slaves) always
+    have a diagonal to pin.
     """
     keys = []
     sizes = []
@@ -74,6 +76,9 @@ def build_pattern(cell_dofs_list, ndof):
         cols = np.tile(cd, (1, k)).reshape(-1)
         keys.append(rows * ndof + cols)
         sizes.append(rows.size)
+    if ensure_diagonal:
+        diag = np.arange(ndof, dtype=np.int64)
+        keys.append(diag * ndof + diag)
     all_keys = np.concatenate(keys)
     from .. import native as _native
 

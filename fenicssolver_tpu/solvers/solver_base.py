@@ -507,12 +507,27 @@ class SolverBase:
         sp.update(self.solver_settings.get("solver_parameters", {}))
         return sp
 
+    def _periodic_slaves(self):
+        s = getattr(self.function_space, "periodic_slaves", None)
+        if s is None or len(s) == 0:
+            return None
+        return s, self.function_space._periodic_master
+
+    def _copy_periodic(self, x):
+        info = self._periodic_slaves()
+        if info is None:
+            return x
+        slaves, master = info
+        return jnp.asarray(x).at[slaves].set(jnp.asarray(x)[master[slaves]])
+
     def solve_static(self, A, b, dirichlet, x0=None, spd=True):
         """Solve A u = b with Dirichlet data applied symmetrically.
 
         Small systems use a dense LU (the reference's default PETSc LU path,
         ``SolverBase.py:603``); larger SPD systems use Jacobi-PCG, others
-        BiCGStab/GMRES.
+        BiCGStab/GMRES.  Periodic slave dofs (orphan rows after the master
+        remap, ``core.spaces``) are fixed during the solve and mirrored from
+        their masters afterwards.
         """
         sp = self._solver_params()
         n = A.pattern.n
@@ -521,10 +536,15 @@ class SolverBase:
         else:
             free = jnp.ones(n, dtype=b.dtype)
             ubc = jnp.zeros_like(b)
+        pinfo = self._periodic_slaves()
+        if pinfo is not None:
+            slaves, _ = pinfo
+            free = free.at[slaves].set(0.0)
+            ubc = ubc.at[slaves].set(0.0)
         rhs = assembly.constrained_rhs(A.matvec, b, free, ubc)
         if n <= DENSE_LIMIT:
             Ac = assembly.constrain_csr(A, free)
-            return dense_solve(Ac, rhs)
+            return self._copy_periodic(dense_solve(Ac, rhs))
         op = assembly.constrained_operator(A.matvec, free)
         diag = free * A.diagonal() + (1.0 - free)
         M = krylov.jacobi_preconditioner(diag)
@@ -543,7 +563,7 @@ class SolverBase:
             self.logger.info(
                 "Krylov solve: %s iters, rel residual %.3e", int(it), float(res)
             )
-        return x
+        return self._copy_periodic(x)
 
     def solve_linear_problem(self, form, u, dirichlet, spd=True):
         A, b = assembly.assemble_linear_system(form, dtype=u.values.dtype)
