@@ -58,18 +58,32 @@ def tpu_run(n, tol, maxiter):
         )
     )
 
-    # --- ELLPACK sparsity (setup, host, native C++): one scatter at assembly
-    # time, then the CG loop is gather-only (TPU scatters serialize) ---
+    # --- sparsity setup (host, native C++): one scatter at assembly time,
+    # then the CG loop is free of scalar gathers/scatters.  Block-ELL
+    # densifies (8,128) lane-aligned tiles so the SpMV is full-lane row
+    # gathers + dense einsum (XLA scalar gathers run ~150M elem/s: 30 ms per
+    # iteration at 275k dofs; see MEMORY: tpu-fem-performance-rules). ---
     from fenicssolver_tpu import native
+    from fenicssolver_tpu.la.block_ell import BC, BR, build_block_ell
 
     nc, k = cd.shape
     rows = np.repeat(cd, k, axis=1).ravel().astype(np.int64)
     cols = np.tile(cd, (1, k)).ravel().astype(np.int64)
     keys = rows * ndof + cols
     inverse, indptr, indices, _rows_u = native.build_csr_pattern(keys, ndof)
-    W, ell_idx, ell_pos = native.build_ell(indptr, indices, ndof)
-    pos = jnp.asarray(ell_pos[inverse].reshape(nc, k * k).T.copy())  # (16, nc)
-    ell_idx_T = jnp.asarray(ell_idx)
+    use_bell = os.environ.get("BENCH_SPMV", "bell") == "bell"
+    if use_bell:
+        K, nrb, col_blocks_np, pos_bell = build_block_ell(indptr, indices, ndof)
+        # element entry -> flat tile slot
+        pos = jnp.asarray(
+            pos_bell[inverse].reshape(nc, k * k).T.copy()
+        )  # (16, nc)
+        col_blocks = jnp.asarray(col_blocks_np)
+        ncb = (ndof + BC - 1) // BC
+    else:
+        W, ell_idx, ell_pos = native.build_ell(indptr, indices, ndof)
+        pos = jnp.asarray(ell_pos[inverse].reshape(nc, k * k).T.copy())
+        ell_idx_T = jnp.asarray(ell_idx)
 
     @jax.jit
     def step(dofs_T, JinvT, detJ):
@@ -81,13 +95,28 @@ def tpu_run(n, tol, maxiter):
         b = jnp.zeros(ndof, dtype=jnp.float32).at[dofs_T.reshape(-1)].add(
             be.reshape(-1)
         )
-        # global assembly: single scatter into the ELL table
-        ell = jnp.zeros(W * ndof, dtype=jnp.float32).at[pos.reshape(-1)].add(
-            Ae.reshape(k * k, -1).reshape(-1)
-        ).reshape(W, ndof)
+        # global assembly: single scatter into the sparse structure
+        if use_bell:
+            tiles = (
+                jnp.zeros(K * nrb * BR * BC, dtype=jnp.float32)
+                .at[pos.reshape(-1)]
+                .add(Ae.reshape(k * k, -1).reshape(-1))
+                .reshape(K, nrb, BR, BC)
+            )
 
-        def matvec_raw(x):
-            return jnp.sum(ell * x[ell_idx_T], axis=0)
+            def matvec_raw(x):
+                xp = jnp.zeros(ncb * BC, dtype=x.dtype).at[:ndof].set(x)
+                xb = xp.reshape(ncb, BC)[col_blocks]  # (K, nrb, BC)
+                y = jnp.einsum("krij,krj->ri", tiles, xb)
+                return y.reshape(-1)[:ndof]
+
+        else:
+            ell = jnp.zeros(W * ndof, dtype=jnp.float32).at[
+                pos.reshape(-1)
+            ].add(Ae.reshape(k * k, -1).reshape(-1)).reshape(W, ndof)
+
+            def matvec_raw(x):
+                return jnp.sum(ell * x[ell_idx_T], axis=0)
 
         def matvec(x):
             return free * matvec_raw(free * x) + (1 - free) * x

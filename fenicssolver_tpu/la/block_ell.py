@@ -1,0 +1,105 @@
+"""Block-ELL sparse format: the TPU-fast SpMV for unstructured FEM.
+
+XLA TPU gathers of scalars run at ~150M elem/s (measured, MEMORY:
+tpu-fem-performance-rules) — 30+ ms per CG iteration at 275k dofs.  This
+format densifies the sparsity into (BR x BC) = (8, 128) tiles aligned to the
+VPU lanes:
+
+    y.reshape(nrb, 8) = sum_k  T[k] @ x.reshape(-1, 128)[col_block[k]]
+
+so the per-iteration data movement is full-lane ROW gathers + dense batched
+einsum — no scalar gathers, no scatters.  Fill-in costs ~10-25x the CSR
+memory; the tradeoff wins whenever lane-width streaming beats per-element
+gathering (all realistic sizes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+BR = 8  # row-block (sublane)
+BC = 128  # col-block (lane width)
+
+
+class BlockELL(NamedTuple):
+    tiles: jnp.ndarray  # (K, nrb, BR, BC)
+    col_blocks: jnp.ndarray  # (K, nrb) int32 col-block index per slot
+    n: int
+    pos: jnp.ndarray = None  # optional: nnz -> flat tile-slot scatter map
+
+    def matvec(self, x):
+        n_pad = self.col_blocks.shape[1] * 0 + self.tiles.shape[1] * BR
+        ncb = (self.n + BC - 1) // BC
+        xp = jnp.zeros(ncb * BC, dtype=x.dtype).at[: self.n].set(x)
+        x2 = xp.reshape(ncb, BC)
+        xb = x2[self.col_blocks]  # (K, nrb, BC): full-lane row gather
+        y = jnp.einsum("krij,krj->ri", self.tiles, xb)  # dense VPU/MXU work
+        return y.reshape(-1)[: self.n]
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+def build_block_ell(indptr, indices, n):
+    """Host-side structure build from a CSR pattern.
+
+    Returns (col_blocks (K, nrb), pos (nnz,) mapping CSR entry -> flat index
+    into tiles) so device-side assembly is one scatter:
+        tiles = zeros(K*nrb*BR*BC).at[pos].add(csr_data_in_pattern_order)
+    """
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    nrb = (n + BR - 1) // BR
+    nnz = indices.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    rb = rows // BR
+    r_in = (rows % BR).astype(np.int64)
+    cb = indices.astype(np.int64) // BC
+    c_in = indices.astype(np.int64) % BC
+    # unique (rb, cb) tiles, slot index within each row block
+    key = rb * ((n // BC) + 2) + cb
+    uniq, inverse = np.unique(key, return_inverse=True)
+    tile_rb = uniq // ((n // BC) + 2)
+    tile_cb = uniq % ((n // BC) + 2)
+    counts = np.bincount(tile_rb, minlength=nrb)
+    K = int(counts.max())
+    offsets = np.zeros(nrb + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(counts)
+    slot_of_tile = np.arange(len(uniq)) - offsets[tile_rb]
+    col_blocks = np.zeros((K, nrb), dtype=np.int32)  # pad: block 0, zero tile
+    col_blocks[slot_of_tile, tile_rb] = tile_cb.astype(np.int32)
+    # nnz -> flat position in tiles (K, nrb, BR, BC)
+    t = inverse  # tile id per nnz
+    pos = (
+        slot_of_tile[t] * (nrb * BR * BC)
+        + tile_rb[t] * (BR * BC)
+        + r_in * BC
+        + c_in
+    ).astype(np.int64)
+    return K, nrb, col_blocks, pos
+
+
+def block_ell_from_csr(A, n=None):
+    """Convert a CSRMatrix (or scipy csr) to BlockELL (host setup + one
+    device scatter)."""
+    if hasattr(A, "pattern"):
+        indptr = np.asarray(A.pattern.indptr)
+        indices = np.asarray(A.pattern.indices)
+        data = jnp.asarray(A.data)
+        n = A.pattern.n
+    else:
+        A = A.tocsr()
+        indptr, indices, data = A.indptr, A.indices, jnp.asarray(A.data)
+        n = A.shape[0]
+    K, nrb, col_blocks, pos = build_block_ell(indptr, indices, n)
+    tiles = (
+        jnp.zeros(K * nrb * BR * BC, dtype=data.dtype)
+        .at[jnp.asarray(pos)]
+        .add(data)
+        .reshape(K, nrb, BR, BC)
+    )
+    return BlockELL(tiles=tiles, col_blocks=jnp.asarray(col_blocks), n=n,
+                    pos=jnp.asarray(pos))
