@@ -86,11 +86,33 @@ def tpu_run(n, tol, maxiter):
         ell_idx_T = jnp.asarray(ell_idx)
 
     @jax.jit
-    def step(dofs_T, JinvT, detJ):
+    def step(dofs_T, JinvT, detJ, pos, col_blocks):
         # element assembly (closed-form P1 stiffness — the jacfwd of the
-        # Poisson kernel written out; all arrays (small..., nc))
-        g = jnp.einsum("kt,tgc->kgc", gref, JinvT)  # (4,3,nc)
-        Ae = jnp.einsum("igc,jgc->ijc", g, g) * (detJ / 6.0)  # (4,4,nc)
+        # Poisson kernel written out; all arrays (small..., nc)).
+        # The k/g contractions are unrolled into elementwise ops on (nc,)
+        # slices: einsum would lower to dot_general with (sublane,lane) on
+        # the SMALL axes -> 32x tile-padding blowup (10GB at 5.3M cells).
+        gref_np_ = np.asarray(gref)
+        g = [
+            [
+                sum(float(gref_np_[a, t]) * JinvT[t, d] for t in range(3))
+                for d in range(3)
+            ]
+            for a in range(4)
+        ]
+        scale = detJ / 6.0
+        Ae = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        (g[a][0] * g[b][0] + g[a][1] * g[b][1]
+                         + g[a][2] * g[b][2]) * scale
+                        for b in range(4)
+                    ]
+                )
+                for a in range(4)
+            ]
+        )  # (4,4,nc)
         be = jnp.broadcast_to(detJ / 24.0, (4, detJ.shape[0]))  # f = 1
         b = jnp.zeros(ndof, dtype=jnp.float32).at[dofs_T.reshape(-1)].add(
             be.reshape(-1)
@@ -106,8 +128,17 @@ def tpu_run(n, tol, maxiter):
 
             def matvec_raw(x):
                 xp = jnp.zeros(ncb * BC, dtype=x.dtype).at[:ndof].set(x)
-                xb = xp.reshape(ncb, BC)[col_blocks]  # (K, nrb, BC)
-                y = jnp.einsum("krij,krj->ri", tiles, xb)
+                x2 = xp.reshape(ncb, BC)
+
+                # sequential over the K tile slots: peak transient is one
+                # (nrb, BC) gather instead of K of them (HBM headroom)
+                def slot(kk, y):
+                    xb = x2[col_blocks[kk]]  # (nrb, BC) full-lane row gather
+                    return y + jnp.einsum("rij,rj->ri", tiles[kk], xb)
+
+                y = jax.lax.fori_loop(
+                    0, K, slot, jnp.zeros((nrb, BR), x.dtype)
+                )
                 return y.reshape(-1)[:ndof]
 
         else:
@@ -116,7 +147,7 @@ def tpu_run(n, tol, maxiter):
             ].add(Ae.reshape(k * k, -1).reshape(-1)).reshape(W, ndof)
 
             def matvec_raw(x):
-                return jnp.sum(ell * x[ell_idx_T], axis=0)
+                return jnp.sum(ell * x[col_blocks], axis=0)
 
         def matvec(x):
             return free * matvec_raw(free * x) + (1 - free) * x
@@ -157,13 +188,15 @@ def tpu_run(n, tol, maxiter):
         res = jnp.sqrt(jnp.vdot(r, r)) / bnorm
         return x, iters, res
 
-    # compile
-    x, iters, res = step(dofs_T, JinvT, detJ_T)
+    # compile (index arrays passed as arguments: large closure constants get
+    # baked into the HLO and overload the axon remote-compile tunnel)
+    cb_arg = col_blocks if use_bell else ell_idx_T
+    x, iters, res = step(dofs_T, JinvT, detJ_T, pos, cb_arg)
     x.block_until_ready()
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        x, iters, res = step(dofs_T, JinvT, detJ_T)
+        x, iters, res = step(dofs_T, JinvT, detJ_T, pos, cb_arg)
         x.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     return ndof, dt, int(iters), float(res), np.asarray(x)
@@ -257,9 +290,9 @@ def main():
         _child_main(int(sys.argv[2]), tol)
         return
 
-    n_tpu = int(os.environ.get("BENCH_N", "64"))  # 275k dofs; n=96 (0.91M)
-    # OOMs HBM and can wedge the axon tunnel for ~1h — raise only after the
-    # memory profile improves (see MEMORY: axon-tpu-tunnel-wedging)
+    n_tpu = int(os.environ.get("BENCH_N", "96"))  # 0.91M dofs (the
+    # BASELINE.json scale target); subprocess guard + size fallback below
+    # protect against HBM OOM / tunnel wedging (MEMORY: axon-tpu-tunnel-wedging)
     n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
     sizes = sorted({n_tpu, 64, 48, 32}, reverse=True)
     sizes = [s for s in sizes if s <= n_tpu]
