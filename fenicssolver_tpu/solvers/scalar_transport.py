@@ -33,9 +33,22 @@ Stefan_constant = 5.670367e-8  # W m^-2 K^-4
 
 
 class ScalarTransportSolver(SolverBase):
+    # misspellings that appear in the reference and its example cases
+    # (``ScalarTransportSolver.py:69,83``, ``test_electrostatics.py:103``)
+    _SCALAR_ALIASES = {
+        "eletric_potential": "electric_potential",
+        "spicies_concentration": "species_concentration",
+    }
+
     def __init__(self, s):
         SolverBase.__init__(self, s)
-        self.scalar_name = self.settings.get("scalar_name", "temperature").lower()
+        name = self.settings.get("scalar_name", "temperature").lower()
+        self.scalar_name = self._SCALAR_ALIASES.get(name, name)
+        if "relative_elelectric_permittivity" in self.material:
+            self.material.setdefault(
+                "relative_electric_permittivity",
+                self.material["relative_elelectric_permittivity"],
+            )
         self.using_diffusion_form = False
 
         self.nonlinear = False

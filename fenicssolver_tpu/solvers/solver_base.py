@@ -317,6 +317,12 @@ class SolverBase:
                         bvariable = vbc
         return bvariable
 
+    def get_boundary_value(self, bc, variable=None):
+        """Boundary value lookup (fixes the reference's NameError at
+        ``SolverBase.py:426``: it called a bare ``translate_value``)."""
+        bvariable = self.get_boundary_variable(bc, variable)
+        return self.translate_value(bvariable["value"])
+
     def get_body_source(self):
         if isinstance(self.body_source, dict):
             vdict = copy.deepcopy(self.body_source)
