@@ -71,6 +71,28 @@ def set_log_active(active):
     pass
 
 
+class PointSource:
+    """dolfin ``PointSource(V, point, magnitude)`` parity: a delta load.
+
+    Solvers accept these in ``settings['point_source']`` alongside raw
+    ``(point, magnitude)`` tuples."""
+
+    def __init__(self, V, point, magnitude=1.0):
+        self.space = V
+        self.point = _np.asarray(
+            point.array()[: V.mesh.gdim] if hasattr(point, "array") else point,
+            dtype=float,
+        )
+        self.magnitude = float(magnitude)
+
+    def __iter__(self):  # unpacks like a (point, magnitude) tuple
+        yield self.point
+        yield self.magnitude
+
+    def __getitem__(self, i):
+        return (self.point, self.magnitude)[i]
+
+
 class File:
     """dolfin ``File`` parity: ``File('x.pvd') << (fn, t)``."""
 

@@ -127,7 +127,9 @@ class CoupledNavierStokesSolver(SolverBase):
             else:
 
                 def nu(p_q, T_q):
-                    return nu0 * jnp.power(jnp.abs(p_q) / p_ref + 1e-12, 0.1)
+                    # eps floors the |p|^0.1 singularity at p = 0 (autodiff
+                    # of the reference's pow(p/p_ref, 0.1) is infinite there)
+                    return nu0 * jnp.power(jnp.abs(p_q) / p_ref + 1e-2, 0.1)
 
             return nu, True
         return float(nu0), False
