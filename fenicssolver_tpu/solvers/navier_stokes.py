@@ -39,6 +39,7 @@ from ..core.spaces import (
     MixedFunctionSpace,
     VectorFunctionSpace,
 )
+from ..la import krylov
 from ..ops import assembly, geometry
 from .solver_base import SolverBase, SolverError
 
@@ -583,7 +584,91 @@ class CoupledNavierStokesSolver(SolverBase):
 
         form.facet_terms.append(assembly.FacetTerm(kernel=kernel, ctx=fctx))
 
+    # -- saddle-point block preconditioner (PETSc fieldsplit analog) -------------
+    def _pressure_mass_diag(self):
+        """Lumped pressure mass vector: m_i = int phi_i dx on Q."""
+        W = self.function_space
+        Q = W.subspaces[1]
+        qdeg = 2 * Q.degree
+        tab = geometry.basis_tables(self.mesh.tdim, Q.degree, qdeg)
+        ctx = geometry.build_cell_context(Q, qdeg)
+        me = jnp.einsum("q,qi,c->ci", jnp.asarray(tab.qw),
+                        jnp.asarray(tab.phi), ctx.detJ)
+        m = jnp.zeros(Q.ndof).at[ctx.cell_dofs.reshape(-1)].add(me.reshape(-1))
+        return m
+
+    def _block_preconditioner(self, J, free):
+        """Block-diagonal preconditioner for the mixed Jacobian: Jacobi on
+        the velocity (and temperature) blocks, scaled pressure-mass on the
+        Schur block — the classic Stokes mass preconditioner (with the form
+        divided by rho, S ~ (1/(rho^2 nu)) M_p)."""
+        W = self.function_space
+        rho = float(self.material["density"])
+        nu0 = float(self.material["kinematic_viscosity"])
+        diag = free * J.diagonal() + (1.0 - free)
+        inv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+        mp = self._pressure_mass_diag()
+        sl = W.slice_of(1)
+        inv_p = (rho * rho * nu0) / jnp.maximum(mp, 1e-300)
+        pfree = free[sl.start : sl.stop]
+        inv = inv.at[sl.start : sl.stop].set(
+            pfree * inv_p + (1.0 - pfree) * 1.0
+        )
+
+        def M(x):
+            return inv * x
+
+        return M
+
     # -- solve ---------------------------------------------------------------------
+    def solve_nonlinear_problem(self, form, u_current, dirichlet, spd=False):
+        """Newton with a fieldsplit-preconditioned GMRES for systems beyond
+        the dense-LU limit (the saddle-point zero pressure block defeats
+        plain Jacobi)."""
+        from ..la.direct import DENSE_LIMIT, dense_solve
+        from ..la.newton import newton_solve
+
+        sp = self._solver_params()
+        free = dirichlet.free_mask if dirichlet and dirichlet.any else None
+        ubc = dirichlet.u_bc if dirichlet and dirichlet.any else None
+
+        def residual(u):
+            R = assembly.assemble_residual(form, u)
+            if free is not None:
+                R = assembly.constrain_residual(R, u, free, ubc)
+            return R
+
+        def jacobian(u):
+            return assembly.assemble_jacobian(form, u)
+
+        def lin_solve(J, rhs):
+            n = J.pattern.n
+            fm = free if free is not None else jnp.ones_like(rhs)
+            if n <= DENSE_LIMIT:
+                return dense_solve(assembly.constrain_csr(J, fm), rhs)
+            op = assembly.constrained_operator(J.matvec, fm)
+            M = self._block_preconditioner(J, fm)
+            x, it, res = krylov.gmres(
+                op, rhs, M=M, tol=1e-9, restart=120, maxiter=60
+            )
+            if sp.get("monitor_convergence"):
+                self.logger.info(
+                    "fieldsplit-GMRES: %d iters, rel res %.2e", int(it), float(res)
+                )
+            return x
+
+        u0 = jnp.asarray(u_current.values)
+        if free is not None:
+            u0 = free * u0 + (1 - free) * ubc
+        x, its, conv = newton_solve(
+            residual, jacobian, lin_solve, u0,
+            rtol=sp.get("relative_tolerance", 1e-9), atol=1e-10,
+            maxiter=sp.get("maximum_iterations", 50),
+            logger=self.logger if sp.get("monitor_convergence") else None,
+        )
+        u_current.values = np.array(x)
+        return u_current
+
     def solve_form(self, F, up_, Dirichlet_bcs_up):
         if self.using_nonlinear_solver:
             return self.solve_nonlinear_problem(F, up_, Dirichlet_bcs_up, spd=False)
