@@ -13,6 +13,12 @@ import jax
 if os.environ.get("FST_X32", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
+# NaN-checking mode (SURVEY.md §5.2: the functional-purity analog of the
+# reference's absent sanitizers): FST_DEBUG_NANS=1 makes jax raise at the
+# first NaN-producing op inside any solve.
+if os.environ.get("FST_DEBUG_NANS", "0") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 
 def default_float():
     import jax.numpy as jnp

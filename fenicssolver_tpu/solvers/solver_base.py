@@ -414,16 +414,28 @@ class SolverBase:
         self.w_pp.assign(self.w_current)
 
     def solve_current_step(self):
-        F, Dirichlet_bcs = self.generate_form(
-            self.current_step,
-            self.trial_function,
-            self.test_function,
-            self.w_current,
-            self.w_prev,
-        )
+        from ..utils.timers import PhaseTimers
+
+        if not hasattr(self, "timers"):
+            self.timers = PhaseTimers()
+        with self.timers.phase("form+assembly_setup"):
+            F, Dirichlet_bcs = self.generate_form(
+                self.current_step,
+                self.trial_function,
+                self.test_function,
+                self.w_current,
+                self.w_prev,
+            )
         self.w_pp.assign(self.w_prev)
         self.w_prev.assign(self.w_current)
-        self.w_current = self.solve_form(F, self.w_current, Dirichlet_bcs)
+        with self.timers.phase("solve"):
+            self.w_current = self.solve_form(F, self.w_current, Dirichlet_bcs)
+        if not np.isfinite(self.w_current.values).all():
+            raise SolverError(
+                f"{self.__class__.__name__}: solve produced non-finite values "
+                f"at step {self.current_step} (divergence detected; see "
+                "FST_DEBUG_NANS=1 to locate the op)"
+            )
         self.result = self.w_current
 
     def solve_transient(self):
@@ -460,6 +472,8 @@ class SolverBase:
                 break
             self.current_step += 1
             self.current_time += dt
+        if hasattr(self, "timers"):
+            self.timers.report(self.logger)
         return self.w_current
 
     def solve(self):
