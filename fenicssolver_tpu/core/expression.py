@@ -9,7 +9,6 @@ tensor (tuple of tuples) expressions are supported.
 
 from __future__ import annotations
 
-import numbers
 import re
 
 import numpy as np

@@ -13,7 +13,7 @@ import numbers
 import numpy as np
 
 from .expression import Constant, Expression
-from .spaces import FunctionSpace, MixedFunctionSpace, VectorFunctionSpace
+from .spaces import MixedFunctionSpace, VectorFunctionSpace
 
 
 class _VectorView:

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .sparse import CSRMatrix, csr_from_scipy
+from .sparse import csr_from_scipy
 
 
 def _strength_graph(A, theta):

@@ -10,9 +10,6 @@ they run matrix-free or on assembled CSR, and all reductions are single
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

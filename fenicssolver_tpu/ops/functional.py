@@ -18,7 +18,7 @@ import numbers
 import numpy as np
 
 from ..core import elements
-from ..core.expression import Constant, Expression
+from ..core.expression import Constant
 from ..core.function import Function
 from ..core.spaces import VectorFunctionSpace
 

@@ -16,8 +16,6 @@ Falls back to the XLA einsum on non-TPU backends.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,15 +21,11 @@ framework's Jacobi-PCG instead of PETSc gmres+ilu (``:419,424``).
 
 from __future__ import annotations
 
-import copy
-
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.expression import Constant
 from ..core.function import Function
-from ..core.mesh import MeshFunction
-from ..core.spaces import FunctionSpace, VectorFunctionSpace
+from ..core.spaces import VectorFunctionSpace
 from ..la import krylov
 from ..ops import assembly, geometry
 from .linear_elasticity import LinearElasticitySolver

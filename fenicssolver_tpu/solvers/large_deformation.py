@@ -14,8 +14,6 @@ given direction; see SURVEY.md §2.6 on the reference's sign quirks).
 
 from __future__ import annotations
 
-import numbers
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,6 @@ import numpy as np
 
 from ..ops import assembly, geometry
 from .linear_elasticity import LinearElasticitySolver
-from .solver_base import SolverError
 
 
 class NonlinearElasticitySolver(LinearElasticitySolver):

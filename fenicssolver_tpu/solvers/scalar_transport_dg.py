@@ -18,7 +18,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.function import Function
 from ..core.spaces import FunctionSpace
 from ..ops import assembly, geometry
 from .scalar_transport import ScalarTransportSolver
