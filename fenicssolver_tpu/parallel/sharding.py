@@ -102,13 +102,22 @@ class ShardedEllipticSolver:
                 ),
             )
             Ae = jac(u0, ctx, aux_l)  # (ncd, k, k)
+            # struct-of-arrays for the hot loop: cell axis last so TPU tiling
+            # pads the small k axes ~1x (see MEMORY: tpu-fem-performance-rules)
+            Ae_T = jnp.transpose(Ae, (1, 2, 0))  # (k, k, ncd)
             dofs = ctx.cell_dofs
+            dofs_T = dofs.T  # (k, ncd)
 
             def matvec_raw(x):
-                xe = x[dofs]  # (ncd, k)
-                ye = jnp.einsum("cij,cj->ci", Ae, xe)  # batched MXU-able
-                y = jnp.zeros(ndof, dtype=x.dtype).at[dofs.reshape(-1)].add(
-                    ye.reshape(-1)
+                xe = x[dofs_T]  # (k, ncd)
+                # unrolled k x k FMA (k is small and static): elementwise on
+                # (ncd,)-trailing slices, no dot_general layout traps
+                ye = [
+                    sum(Ae_T[i, j] * xe[j] for j in range(k))
+                    for i in range(k)
+                ]
+                y = jnp.zeros(ndof, dtype=x.dtype).at[dofs_T.reshape(-1)].add(
+                    jnp.stack(ye).reshape(-1)
                 )
                 return jax.lax.psum(y, AXIS)
 
