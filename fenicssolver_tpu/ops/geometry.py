@@ -156,11 +156,10 @@ def _affine_geometry(coords, cells_arr, tdim):
     return Xe, detJ, Jinv
 
 
-def build_cell_context(space, quad_degree, coords=None, dtype=None):
+def build_cell_context(space, quad_degree, coords=None):
     """Build the device cell batch for a space (or mixed space)."""
     mesh = space.mesh
     coords = mesh.coords if coords is None else np.asarray(coords)
-    dtype = dtype or (jnp.float64 if jnp.zeros(0).dtype == jnp.float64 else None)
     tdim = mesh.tdim
     Xe, detJ, Jinv = _affine_geometry(coords, mesh.cells_array, tdim)
     qp, _ = elements.quadrature(tdim, quad_degree)

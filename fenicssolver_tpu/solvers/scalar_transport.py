@@ -343,10 +343,6 @@ class ScalarTransportSolver(SolverBase):
             gS = self.translate_value(self.get_flux(ss["value"]))
             self._add_flux_term(form, mesh.exterior_facets(), gS, qdeg, scale=1.0)
 
-        fphi_tab, fdphi_tab, fw, _ = geometry.facet_basis_tables(
-            mesh.tdim, V.degree, qdeg
-        )
-
         for name, bc_settings in self.boundary_conditions.items():
             i = bc_settings["boundary_id"]
             bc = self.get_boundary_variable(bc_settings)
