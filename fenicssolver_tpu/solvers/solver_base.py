@@ -418,18 +418,24 @@ class SolverBase:
 
         if not hasattr(self, "timers"):
             self.timers = PhaseTimers()
+        # The lagged state for this step is the LAST COMPUTED solution, i.e.
+        # w_current at form-build time.  (The reference rotates w_prev before
+        # solving and relies on deferred UFL evaluation, SolverBase.py:484-490;
+        # an eager gather of w_prev there would be one step stale.)  History
+        # rotates after the solve so get_acceleration sees T_k/T_{k-1}/T_{k-2}.
+        prev_snapshot = self.w_current.values.copy()
         with self.timers.phase("form+assembly_setup"):
             F, Dirichlet_bcs = self.generate_form(
                 self.current_step,
                 self.trial_function,
                 self.test_function,
                 self.w_current,
-                self.w_prev,
+                self.w_current,
             )
-        self.w_pp.assign(self.w_prev)
-        self.w_prev.assign(self.w_current)
         with self.timers.phase("solve"):
             self.w_current = self.solve_form(F, self.w_current, Dirichlet_bcs)
+        self.w_pp.assign(self.w_prev)
+        self.w_prev.values[:] = prev_snapshot
         if not np.isfinite(self.w_current.values).all():
             raise SolverError(
                 f"{self.__class__.__name__}: solve produced non-finite values "
