@@ -310,3 +310,26 @@ def test_reference_json_case():
     T_exact = 350 - 50 * coords[:, 2] / 20
     err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
     assert err < 1e-8, err
+
+
+def test_canonical_case_p2():
+    """The bundled JSON case at fe_degree 2 (P2 tets: edge dofs, facet edge
+    lookup, higher quadrature) reproduces the linear profile to roundoff."""
+    import os
+
+    from fenicssolver_tpu.main import load_settings, main
+
+    case = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "TestHeatTransfer.json")
+    settings = load_settings(case)
+    settings["fe_degree"] = 2
+    settings["report_settings"] = {
+        "plotting_freq": 0, "saving_freq": 0,
+        "plotting_interactive": False, "logging_level": 40,
+    }
+    solver = main(settings)
+    T = solver.result
+    coords = solver.function_space.dof_coords
+    T_exact = 350 - 50 * coords[:, 2] / 20
+    err = np.linalg.norm(T.values - T_exact) / np.linalg.norm(T_exact)
+    assert err < 1e-10, err
