@@ -39,6 +39,7 @@ def load_function_values(filename, target_space):
         cells = data["cells"]
         degree = int(data["degree"])
         vdim = int(data["vdim"])
+        family = str(data["family"]) if "family" in data else "CG"
     tgt_mesh = target_space.mesh
     same_mesh = (
         coords.shape == tgt_mesh.coords.shape
@@ -47,9 +48,17 @@ def load_function_values(filename, target_space):
         and (cells == tgt_mesh.cells_array).all()
     )
     tgt_vdim = getattr(target_space, "vdim", 1)
-    if same_mesh and degree == target_space.degree and vdim == tgt_vdim:
+    tgt_family = getattr(target_space, "family", "CG")
+    if (
+        same_mesh
+        and degree == target_space.degree
+        and vdim == tgt_vdim
+        and family == tgt_family
+    ):
         return values.copy()
-    # non-matching: rebuild the source function and point-interpolate
+    # non-matching: rebuild the source function (with its saved family, so a
+    # DG checkpoint's cell-wise dofs are not misread as CG vertex dofs) and
+    # point-interpolate
     from ..core.function import Function
     from ..core.mesh import Mesh
     from ..core.spaces import FunctionSpace, VectorFunctionSpace
@@ -57,9 +66,9 @@ def load_function_values(filename, target_space):
 
     src_mesh = Mesh(coords, cells)
     if vdim > 1:
-        src_space = VectorFunctionSpace(src_mesh, "CG", degree, dim=vdim)
+        src_space = VectorFunctionSpace(src_mesh, family, degree, dim=vdim)
     else:
-        src_space = FunctionSpace(src_mesh, "CG", degree)
+        src_space = FunctionSpace(src_mesh, family, degree)
     src_fn = Function(src_space, values)
     return interpolate_nonmatching_mesh(src_fn, target_space).values
 

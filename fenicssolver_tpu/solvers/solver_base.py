@@ -274,12 +274,21 @@ class SolverBase:
         """
         W = function_space or self.function_space
         if isinstance(value, (tuple, list, np.ndarray)):
-            if len(value) and isinstance(value[0], numbers.Number):
+            # a length-``dimension`` sequence is a vector value; anything
+            # longer in a transient run is a per-step time series (reference
+            # ordering, ``SolverBase.py:357-367`` — a numeric series like
+            # [300, 310, ...] must resolve to value[current_step], not a
+            # length-n Constant)
+            if len(value) == self.dimension and isinstance(
+                value[0], numbers.Number
+            ):
                 return Constant(tuple(float(v) for v in value))
-            if len(value) and isinstance(value[0], str):
+            if len(value) == self.dimension and isinstance(value[0], str):
                 return Expression(tuple(value), degree=self.settings["fe_degree"])
             if self.transient_settings["transient"] and len(value) > self.dimension:
-                return value[self.current_step]
+                return self.translate_value(
+                    value[self.current_step], function_space
+                )
             raise SolverError(f"cannot translate sequence value: {value!r}")
         if isinstance(value, numbers.Number):
             return float(value)
@@ -623,12 +632,14 @@ class SolverBase:
             op = assembly.constrained_operator(J.matvec, fm)
             diag = fm * J.diagonal() + (1.0 - fm)
             M = krylov.jacobi_preconditioner(diag)
+            # mask constrained rows so the Newton update is exactly zero on
+            # Dirichlet dofs regardless of the start point
             if spd:
-                x, it, res = krylov.cg(op, fm * rhs + (1 - fm) * rhs, M=M,
+                x, it, res = krylov.cg(op, fm * rhs, M=M,
                                        tol=1e-10, maxiter=5000)
             else:
-                x, it, res = krylov.gmres(op, rhs, M=M, tol=1e-10, restart=80,
-                                          maxiter=200)
+                x, it, res = krylov.gmres(op, fm * rhs, M=M, tol=1e-10,
+                                          restart=80, maxiter=200)
             return x
 
         u0 = jnp.asarray(u_current.values)

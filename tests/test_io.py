@@ -96,3 +96,26 @@ def test_solver_state_roundtrip(tmp_path):
     solver2.init_solver()
     checkpoint.load_state(fn, solver2)
     assert np.allclose(solver2.w_current.values, solver.w_current.values)
+
+
+def test_checkpoint_dg_family_restore(tmp_path):
+    """A DG checkpoint restored onto a different mesh must rebuild the source
+    space with its saved family (ADVICE r1: cell-wise DG dofs were misread
+    as CG vertex dofs); same-mesh different-family must also re-interpolate
+    instead of copying raw dof values."""
+    mesh = UnitSquareMesh(8, 8)
+    Vdg = FunctionSpace(mesh, "DG", 1)
+    f = interpolate(Expression("x[0]+2*x[1]", degree=1), Vdg)
+    fn = str(tmp_path / "dg_ckpt.npz")
+    checkpoint.save_function(fn, f)
+    # cross-mesh restore onto CG
+    mesh2 = UnitSquareMesh(7, 7)
+    Vcg = FunctionSpace(mesh2, "CG", 1)
+    vals = checkpoint.load_function_values(fn, Vcg)
+    expect = Vcg.dof_coords[:, 0] + 2 * Vcg.dof_coords[:, 1]
+    assert np.linalg.norm(vals - expect) / np.linalg.norm(expect) < 1e-8
+    # same-mesh, different family: fast path must NOT trigger
+    Vcg_same = FunctionSpace(mesh, "CG", 1)
+    vals2 = checkpoint.load_function_values(fn, Vcg_same)
+    expect2 = Vcg_same.dof_coords[:, 0] + 2 * Vcg_same.dof_coords[:, 1]
+    assert np.linalg.norm(vals2 - expect2) / np.linalg.norm(expect2) < 1e-8

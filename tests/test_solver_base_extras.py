@@ -43,7 +43,59 @@ def test_time_series_stepping():
     assert np.isfinite(T.values).all()
 
 
-def test_transient_dynamics_elasticity():
+def test_time_series_boundary_value():
+    """A numeric sequence longer than the spatial dimension in a transient
+    run is a per-step time series -> value[current_step] (reference
+    SolverBase.py:365-366; ADVICE r1: the old code returned a length-n
+    Constant vector instead)."""
+    mesh = UnitSquareMesh(4, 4)
+    Q = FunctionSpace(mesh, "CG", 1)
+    s = base_settings(Q, make_bcs())
+    s["solver_settings"]["transient_settings"] = {
+        "transient": True,
+        "starting_time": 0.0,
+        "time_step": 0.1,
+        "ending_time": 0.5,
+    }
+    solver = ScalarTransportSolver(s)
+    series = [300.0, 310.0, 320.0, 330.0, 340.0]
+    solver.current_step = 0
+    assert solver.translate_value(series) == pytest.approx(300.0)
+    solver.current_step = 2
+    assert solver.translate_value(series) == pytest.approx(320.0)
+    # a length-==-dimension sequence stays a Constant vector
+    c = solver.translate_value([1.0, 2.0])
+    assert isinstance(c, Constant)
+    assert np.allclose(c.values(), [1.0, 2.0])
+    # steady case: a too-long numeric sequence is an error, not a vector
+    steady = ScalarTransportSolver(base_settings(Q, make_bcs()))
+    steady.current_step = 0
+    with pytest.raises(Exception):
+        steady.translate_value(series)
+
+
+def test_time_series_dirichlet_solve():
+    """End-to-end: a time-series Dirichlet value is applied per step."""
+    mesh = UnitSquareMesh(6, 6)
+    Q = FunctionSpace(mesh, "CG", 1)
+    bcs = make_bcs()
+    series = [300.0, 310.0, 320.0, 330.0, 340.0, 350.0]
+    bcs["hot"]["values"]["temperature"]["value"] = series
+    s = base_settings(Q, bcs)
+    s["solver_settings"]["transient_settings"] = {
+        "transient": True,
+        "starting_time": 0.0,
+        "time_step": 0.1,
+        "ending_time": 0.35,
+    }
+    solver = ScalarTransportSolver(s)
+    T = solver.solve()
+    top = np.abs(Q.dof_coords[:, 1] - 1.0) < 1e-9
+    vals = np.unique(np.round(T.values[top], 6))
+    assert len(vals) == 1, "Dirichlet row not uniform"
+    # the last applied value is one of the later series entries, not 300
+    # and not the whole-series vector
+    assert vals[0] in series[1:], vals
     """solving_dynamics adds the inertial term from acceleration history
     (reference :216-220 with the inverted-division bug fixed)."""
     from fenicssolver_tpu.solvers.linear_elasticity import LinearElasticitySolver
