@@ -2,12 +2,16 @@
 
 Problem: 3D P1 tetrahedral Poisson (heat conduction) at ~1M DOFs — the
 BASELINE.json scale target.  The TPU path is the partial-assembly design:
-batched element-stiffness evaluation (vmapped jacfwd of the residual kernel)
-+ matrix-free gather/einsum/scatter SpMV inside a jitted Jacobi-PCG.
+batched element-stiffness evaluation + one scatter into block-ELL tiles,
+then PCG whose operator is the generic block-ELL SpMV (the framework's
+unstructured hot path) preconditioned by a geometric-multigrid V-cycle
+(``la/gmg.py`` — pure lattice slicing, mesh-independent ~7 iterations).
 
-Baseline: the same problem assembled and solved on CPU with scipy.sparse
-(C/LAPACK kernels) — the stand-in for the reference's FEniCS/PETSc stack,
-which is not installed in this image (BASELINE.md: baseline is *measured*).
+Baseline: the same problem assembled (scipy.sparse) and solved with the
+SAME GMG-PCG algorithm in numpy on CPU — the stand-in for the reference's
+FEniCS/PETSc-with-AMG stack, which is not installed in this image
+(BASELINE.md: baseline is *measured*).  Same algorithm on both sides, so
+``vs_baseline`` measures hardware + implementation, not iteration counts.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,68 +26,87 @@ os.environ.setdefault("FST_X32", "1")  # f32 on TPU; accuracy is tested in f64
 import numpy as np
 
 
-def build_problem(n):
-    """Host-side geometry only: the TPU run uploads just (dofs, Jinv, detJ)."""
-    from fenicssolver_tpu.core import FunctionSpace, UnitCubeMesh
+def _log(msg):
+    sys.stderr.write(f"[bench] {msg}\n")
+    sys.stderr.flush()
 
-    mesh = UnitCubeMesh(n, n, n)
-    V = FunctionSpace(mesh, "CG", 1)
-    X = mesh.coords[mesh.cells_array].astype(np.float32)
-    J = np.swapaxes(X[:, 1:, :] - X[:, :1, :], 1, 2)
-    detJ = np.abs(np.linalg.det(J)).astype(np.float32)
-    Jinv = np.linalg.inv(J).astype(np.float32)
-    bd = V.facet_dofs(mesh.exterior_facets())
-    free = np.ones(V.ndof, dtype=np.float32)
-    free[bd] = 0.0
-    return mesh, V, Jinv, detJ, free
+
+def build_problem(n, dtype=np.float32):
+    """Host-side setup via the structured lattice fast paths
+    (``ops/structured.py``): O(ndof) vectorized, no global sorts.  The
+    arrays produced are byte-identical to the generic unstructured setup
+    (asserted in tests/test_gmg.py) — only the setup is structure-aware;
+    the device program consumes the same inputs either way."""
+    from fenicssolver_tpu.la.block_ell import build_block_ell
+    from fenicssolver_tpu.ops.structured import (
+        LatticePattern,
+        box_cells,
+        box_tet_geometry,
+    )
+
+    t0 = time.perf_counter()
+    ndof = (n + 1) ** 3
+    pat = LatticePattern(n, n, n)
+    cd = box_cells(n, n, n)  # (nc, 4) == V.cell_dofs
+    Jinv, detJ = box_tet_geometry(n, n, n, dtype=dtype)
+    free = np.ones(ndof, dtype=dtype)
+    free[pat.boundary_vertices()] = 0.0
+    _log(f"lattice setup {time.perf_counter() - t0:.1f}s (ndof={ndof})")
+
+    t1 = time.perf_counter()
+    rows = np.repeat(cd, 4, axis=1).ravel()
+    cols = np.tile(cd, (1, 4)).ravel()
+    slots = pat.entry_slots(rows, cols)  # element entry -> CSR slot
+    K, nrb, col_blocks, pos_bell = build_block_ell(
+        pat.indptr, pat.indices, ndof
+    )
+    pos = pos_bell[slots]  # element entry -> flat tile slot
+    _log(f"sparsity setup {time.perf_counter() - t1:.1f}s (K={K}, nrb={nrb})")
+    return dict(
+        ndof=ndof,
+        cd=cd,
+        Jinv=Jinv,
+        detJ=detJ,
+        free=free,
+        K=K,
+        nrb=nrb,
+        col_blocks=col_blocks,
+        pos=pos,
+    )
 
 
 def tpu_run(n, tol, maxiter):
     import jax
     import jax.numpy as jnp
-    from fenicssolver_tpu.ops import geometry
+    from fenicssolver_tpu.la import gmg
+    from fenicssolver_tpu.la.block_ell import BC, BR
 
-    mesh, V, Jinv_np, detJ_np, free_np = build_problem(n)
-    ndof = V.ndof
-    free = jnp.asarray(free_np)
+    t_setup0 = time.perf_counter()
+    prob = build_problem(n)
+    ndof = prob["ndof"]
+    free = jnp.asarray(prob["free"])
     # TPU layout: keep the huge cell axis LAST so (8,128) tiling pads the
     # small dof/space axes by ~1x instead of 32x (struct-of-arrays)
-    cd = np.asarray(V.cell_dofs)
+    cd = prob["cd"]
+    k = cd.shape[1]
     dofs_T = jnp.asarray(cd.T.copy())  # (4, nc)
-    JinvT = jnp.asarray(np.ascontiguousarray(np.moveaxis(Jinv_np, 0, -1)))
-    detJ_T = jnp.asarray(detJ_np)  # (nc,)
-    gref = jnp.asarray(
-        np.array(
-            [[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32
-        )
+    JinvT = jnp.asarray(np.ascontiguousarray(np.moveaxis(prob["Jinv"], 0, -1)))
+    detJ_T = jnp.asarray(prob["detJ"])  # (nc,)
+    K, nrb = prob["K"], prob["nrb"]
+    pos = jnp.asarray(prob["pos"].reshape(-1, k * k).T.copy())  # (16, nc)
+    col_blocks = jnp.asarray(prob["col_blocks"])
+    ncb = (ndof + BC - 1) // BC
+    gref_np = np.array(
+        [[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32
     )
-
-    # --- sparsity setup (host, native C++): one scatter at assembly time,
-    # then the CG loop is free of scalar gathers/scatters.  Block-ELL
-    # densifies (8,128) lane-aligned tiles so the SpMV is full-lane row
-    # gathers + dense einsum (XLA scalar gathers run ~150M elem/s: 30 ms per
-    # iteration at 275k dofs; see MEMORY: tpu-fem-performance-rules). ---
-    from fenicssolver_tpu import native
-    from fenicssolver_tpu.la.block_ell import BC, BR, build_block_ell
-
-    nc, k = cd.shape
-    rows = np.repeat(cd, k, axis=1).ravel().astype(np.int64)
-    cols = np.tile(cd, (1, k)).ravel().astype(np.int64)
-    keys = rows * ndof + cols
-    inverse, indptr, indices, _rows_u = native.build_csr_pattern(keys, ndof)
-    use_bell = os.environ.get("BENCH_SPMV", "bell") == "bell"
-    if use_bell:
-        K, nrb, col_blocks_np, pos_bell = build_block_ell(indptr, indices, ndof)
-        # element entry -> flat tile slot
-        pos = jnp.asarray(
-            pos_bell[inverse].reshape(nc, k * k).T.copy()
-        )  # (16, nc)
-        col_blocks = jnp.asarray(col_blocks_np)
-        ncb = (ndof + BC - 1) // BC
-    else:
-        W, ell_idx, ell_pos = native.build_ell(indptr, indices, ndof)
-        pos = jnp.asarray(ell_pos[inverse].reshape(nc, k * k).T.copy())
-        ell_idx_T = jnp.asarray(ell_idx)
+    # GMG preconditioner data: small (few MB) -> safe as closure constants;
+    # the big index/tile arrays stay jit ARGS (axon tunnel: >100MB closure
+    # constants overload remote compile, see MEMORY)
+    t_gmg = time.perf_counter()
+    use_gmg = os.environ.get("BENCH_PC", "gmg") == "gmg"
+    G = gmg.build_gmg(n, n, n) if use_gmg else None
+    _log(f"gmg setup {time.perf_counter() - t_gmg:.1f}s "
+         f"(levels={len(G.levels) if G else 0})")
 
     @jax.jit
     def step(dofs_T, JinvT, detJ, pos, col_blocks):
@@ -92,10 +115,9 @@ def tpu_run(n, tol, maxiter):
         # The k/g contractions are unrolled into elementwise ops on (nc,)
         # slices: einsum would lower to dot_general with (sublane,lane) on
         # the SMALL axes -> 32x tile-padding blowup (10GB at 5.3M cells).
-        gref_np_ = np.asarray(gref)
         g = [
             [
-                sum(float(gref_np_[a, t]) * JinvT[t, d] for t in range(3))
+                sum(float(gref_np[a, t]) * JinvT[t, d] for t in range(3))
                 for d in range(3)
             ]
             for a in range(4)
@@ -117,51 +139,44 @@ def tpu_run(n, tol, maxiter):
         b = jnp.zeros(ndof, dtype=jnp.float32).at[dofs_T.reshape(-1)].add(
             be.reshape(-1)
         )
-        # global assembly: single scatter into the sparse structure
-        if use_bell:
-            tiles = (
-                jnp.zeros(K * nrb * BR * BC, dtype=jnp.float32)
-                .at[pos.reshape(-1)]
-                .add(Ae.reshape(k * k, -1).reshape(-1))
-                .reshape(K, nrb, BR, BC)
-            )
+        # global assembly: single scatter into the block-ELL structure
+        tiles = (
+            jnp.zeros(K * nrb * BR * BC, dtype=jnp.float32)
+            .at[pos.reshape(-1)]
+            .add(Ae.reshape(k * k, -1).reshape(-1))
+            .reshape(K, nrb, BR, BC)
+        )
 
-            def matvec_raw(x):
-                xp = jnp.zeros(ncb * BC, dtype=x.dtype).at[:ndof].set(x)
-                x2 = xp.reshape(ncb, BC)
+        def matvec_raw(x):
+            xp = jnp.zeros(ncb * BC, dtype=x.dtype).at[:ndof].set(x)
+            x2 = xp.reshape(ncb, BC)
 
-                # sequential over the K tile slots: peak transient is one
-                # (nrb, BC) gather instead of K of them (HBM headroom)
-                def slot(kk, y):
-                    xb = x2[col_blocks[kk]]  # (nrb, BC) full-lane row gather
-                    return y + jnp.einsum("rij,rj->ri", tiles[kk], xb)
+            # sequential over the K tile slots: peak transient is one
+            # (nrb, BC) gather instead of K of them (HBM headroom)
+            def slot(kk, y):
+                xb = x2[col_blocks[kk]]  # (nrb, BC) full-lane row gather
+                return y + jnp.einsum("rij,rj->ri", tiles[kk], xb)
 
-                y = jax.lax.fori_loop(
-                    0, K, slot, jnp.zeros((nrb, BR), x.dtype)
-                )
-                return y.reshape(-1)[:ndof]
-
-        else:
-            ell = jnp.zeros(W * ndof, dtype=jnp.float32).at[
-                pos.reshape(-1)
-            ].add(Ae.reshape(k * k, -1).reshape(-1)).reshape(W, ndof)
-
-            def matvec_raw(x):
-                return jnp.sum(ell * x[col_blocks], axis=0)
+            y = jax.lax.fori_loop(0, K, slot, jnp.zeros((nrb, BR), x.dtype))
+            return y.reshape(-1)[:ndof]
 
         def matvec(x):
             return free * matvec_raw(free * x) + (1 - free) * x
 
         rhs = free * b
-        diag_e = jnp.einsum("iic->ic", Ae)
-        diag = jnp.zeros(ndof, dtype=jnp.float32).at[dofs_T.reshape(-1)].add(
-            diag_e.reshape(-1)
-        )
-        diag = free * diag + (1 - free)
-        inv_d = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+        if use_gmg:
+            M = lambda r: gmg.vcycle(G, r)
+        else:
+            diag_e = jnp.einsum("iic->ic", Ae)
+            diag = jnp.zeros(ndof, dtype=jnp.float32).at[
+                dofs_T.reshape(-1)
+            ].add(diag_e.reshape(-1))
+            diag = free * diag + (1 - free)
+            inv_d = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+            M = lambda r: inv_d * r
 
         r = rhs
-        z = inv_d * r
+        z = M(r)
         p = z
         rz = jnp.vdot(r, z)
         bnorm = jnp.sqrt(jnp.vdot(rhs, rhs))
@@ -176,7 +191,7 @@ def tpu_run(n, tol, maxiter):
             alpha = rz / jnp.vdot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = inv_d * r
+            z = M(r)
             rz_new = jnp.vdot(r, z)
             p = z + (rz_new / rz) * p
             return (x, r, z, p, rz_new, i + 1)
@@ -188,90 +203,200 @@ def tpu_run(n, tol, maxiter):
         res = jnp.sqrt(jnp.vdot(r, r)) / bnorm
         return x, iters, res
 
+    setup_s = time.perf_counter() - t_setup0
     # compile (index arrays passed as arguments: large closure constants get
     # baked into the HLO and overload the axon remote-compile tunnel)
-    cb_arg = col_blocks if use_bell else ell_idx_T
-    x, iters, res = step(dofs_T, JinvT, detJ_T, pos, cb_arg)
+    t_c = time.perf_counter()
+    x, iters, res = step(dofs_T, JinvT, detJ_T, pos, col_blocks)
     x.block_until_ready()
+    _log(f"compile+first run {time.perf_counter() - t_c:.1f}s "
+         f"(iters={int(iters)}, res={float(res):.2e})")
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        x, iters, res = step(dofs_T, JinvT, detJ_T, pos, cb_arg)
+        x, iters, res = step(dofs_T, JinvT, detJ_T, pos, col_blocks)
         x.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
-    return ndof, dt, int(iters), float(res), np.asarray(x)
+    return ndof, dt, int(iters), float(res), np.asarray(x), setup_s
+
+
+# ---------------------------------------------------------------------------
+# CPU baseline: scipy assembly + GMG-PCG in pure numpy (same algorithm as the
+# TPU side so the comparison measures hardware/implementation, not iteration
+# counts).  Kept jax-free: it runs in the parent process.
+# ---------------------------------------------------------------------------
+
+
+class _NumpyGMG:
+    """numpy mirror of la/gmg.py's V-cycle (same taps, transfers, smoother)."""
+
+    def __init__(self, n, omega=0.8, nu=2, coarse_max=800):
+        from fenicssolver_tpu.la.gmg import CENTER_IDX, p1_box_stencil
+        from fenicssolver_tpu.ops.structured import OFFSETS, LatticePattern
+
+        self.OFFSETS = [tuple(int(v) for v in o) for o in OFFSETS]
+        self.CENTER = CENTER_IDX
+        self.omega, self.nu = omega, nu
+        nn = np.array([n, n, n])
+        h = 1.0 / nn
+        free3 = np.zeros(tuple(nn + 1), dtype=bool)
+        free3[1:-1, 1:-1, 1:-1] = True
+        self.levels = []
+        while (nn % 2 == 0).all() and (nn >= 4).all() and np.prod(nn + 1) > coarse_max:
+            coefs = p1_box_stencil(*h)
+            self.levels.append((coefs, free3.astype(np.float64)))
+            nn = nn // 2
+            h = h * 2
+            free3 = free3[::2, ::2, ::2]
+        coefs = p1_box_stencil(*h)
+        pat = LatticePattern(*(int(v) for v in nn))
+        vals = np.broadcast_to(coefs, pat._present.shape)[pat._present]
+        D = np.zeros((pat.n, pat.n))
+        rows = np.repeat(np.arange(pat.n), np.diff(pat.indptr))
+        D[rows, pat.indices] = vals
+        fr = free3.ravel().astype(np.float64)
+        D = fr[:, None] * D * fr[None, :] + np.diag(1.0 - fr)
+        self.coarse_inv = np.linalg.inv(D)
+        self.shape3 = ((n + 1),) * 3
+
+    def _shift(self, x, d):
+        out = np.zeros_like(x)
+        src, dst = [], []
+        for ax, dd in enumerate(d):
+            m = x.shape[ax]
+            if dd >= 0:
+                src.append(slice(dd, m))
+                dst.append(slice(0, m - dd))
+            else:
+                src.append(slice(0, m + dd))
+                dst.append(slice(-dd, m))
+        out[tuple(dst)] = x[tuple(src)]
+        return out
+
+    def _apply(self, x3, coefs):
+        y = coefs[self.CENTER] * x3
+        for oi, d in enumerate(self.OFFSETS):
+            if oi != self.CENTER:
+                y += coefs[oi] * self._shift(x3, d)
+        return y
+
+    def _restrict(self, x):
+        for ax in range(3):
+            x = np.moveaxis(x, ax, 0)
+            xp = np.pad(x, ((1, 1),) + ((0, 0),) * (x.ndim - 1))
+            x = np.moveaxis(
+                0.5 * xp[0:-2:2] + xp[1:-1:2] + 0.5 * xp[2::2], 0, ax
+            )
+        return x
+
+    def _prolong(self, x):
+        for ax in range(3):
+            x = np.moveaxis(x, ax, 0)
+            odd = 0.5 * (x[:-1] + x[1:])
+            body = np.stack([x[:-1], odd], axis=1).reshape(
+                (-1,) + x.shape[1:]
+            )
+            x = np.moveaxis(np.concatenate([body, x[-1:]], axis=0), 0, ax)
+        return x
+
+    def _cycle(self, li, b3):
+        if li == len(self.levels):
+            return (self.coarse_inv @ b3.ravel()).reshape(b3.shape)
+        coefs, fr = self.levels[li]
+        om, c0 = self.omega, coefs[self.CENTER]
+        A = lambda x: fr * self._apply(fr * x, coefs)
+        x = om / c0 * (fr * b3)
+        for _ in range(self.nu - 1):
+            x = x + om / c0 * fr * (b3 - A(x))
+        ec = self._cycle(li + 1, self._restrict(fr * (b3 - A(x))))
+        x = x + fr * self._prolong(ec)
+        for _ in range(self.nu):
+            x = x + om / c0 * fr * (b3 - A(x))
+        return x
+
+    def __call__(self, r):
+        fr0 = self.levels[0][1] if self.levels else None
+        b3 = r.reshape(self.shape3)
+        if not self.levels:
+            return self.coarse_inv @ r
+        return self._cycle(0, fr0 * b3).ravel()
 
 
 def cpu_baseline(n, tol, maxiter):
-    """scipy.sparse assembly + Jacobi-PCG on the same problem."""
+    """scipy.sparse assembly + GMG-PCG (numpy V-cycle) on the same problem."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spl
 
-    # independent numpy implementation (no jax): P1 tet stiffness
-    from fenicssolver_tpu.core.mesh import UnitCubeMesh
-    from fenicssolver_tpu.core.spaces import FunctionSpace
+    from fenicssolver_tpu.ops.structured import (
+        LatticePattern,
+        box_cells,
+        box_tet_geometry,
+    )
 
-    mesh = UnitCubeMesh(n, n, n)
-    V = FunctionSpace(mesh, "CG", 1)
-    X = mesh.coords[mesh.cells_array]  # (nc,4,3)
-    nc = mesh.num_cells()
-    ndof = V.ndof
-    rows = np.repeat(mesh.cells_array, 4, axis=1).ravel()
-    cols = np.tile(mesh.cells_array, (1, 4)).ravel()
-    bd = V.facet_dofs(mesh.exterior_facets())
+    ndof = (n + 1) ** 3
+    cells = box_cells(n, n, n)
+    pat = LatticePattern(n, n, n)
+    bd = pat.boundary_vertices()
     free = np.ones(ndof, bool)
     free[bd] = False
+    fr = free.astype(np.float64)
 
     t0 = time.perf_counter()
-    J = np.swapaxes(X[:, 1:, :] - X[:, :1, :], 1, 2)
-    detJ = np.abs(np.linalg.det(J))
-    Jinv = np.linalg.inv(J)
+    Jinv, detJ = box_tet_geometry(n, n, n, dtype=np.float64)
     gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
     g = np.einsum("kt,ctg->ckg", gref, Jinv)  # (nc,4,3)
     Ae = np.einsum("cig,cjg,c->cij", g, g, detJ / 6.0)
+    rows = np.repeat(cells, 4, axis=1).ravel()
+    cols = np.tile(cells, (1, 4)).ravel()
     A = sp.coo_matrix((Ae.ravel(), (rows, cols)), shape=(ndof, ndof)).tocsr()
     b = np.zeros(ndof)
-    np.add.at(b, mesh.cells_array.ravel(),
-              np.repeat(detJ / 6.0 / 4.0, 4))
-    Af = A[free][:, free]
-    bf = b[free]
-    Minv = sp.diags(1.0 / Af.diagonal())
+    np.add.at(b, cells.ravel(), np.repeat(detJ / 6.0 / 4.0, 4))
+    M = _NumpyGMG(n)
+
+    def matvec(x):
+        return fr * (A @ (fr * x)) + (1 - fr) * x
+
+    rhs = fr * b
+    Aop = spl.LinearOperator((ndof, ndof), matvec=matvec)
+    Mop = spl.LinearOperator((ndof, ndof), matvec=M)
     niter = [0]
-
-    def cb(xk):
-        niter[0] += 1
-
-    xf, info = spl.cg(Af, bf, rtol=tol, maxiter=maxiter, M=Minv, callback=cb)
+    xf, info = spl.cg(
+        Aop, rhs, rtol=tol, maxiter=maxiter, M=Mop,
+        callback=lambda xk: niter.__setitem__(0, niter[0] + 1),
+    )
     dt = time.perf_counter() - t0
-    x = np.zeros(ndof)
-    x[free] = xf
-    return ndof, dt, niter[0], x
+    return ndof, dt, niter[0], xf
 
 
 def _child_main(n, tol):
     """Run the TPU measurement in a child process (crash/hang isolation:
     the axon TPU tunnel occasionally wedges; the parent retries smaller)."""
-    ndof, dt, iters, res, x = tpu_run(n, tol, maxiter=3000)
+    ndof, dt, iters, res, x, setup_s = tpu_run(n, tol, maxiter=3000)
     print(
         "CHILD_RESULT "
         + json.dumps(
-            dict(ndof=ndof, dt=dt, iters=iters, res=res, umax=float(np.max(x)))
+            dict(ndof=ndof, dt=dt, iters=iters, res=res,
+                 umax=float(np.max(x)), setup_s=round(setup_s, 1))
         )
     )
 
 
-def _run_tpu_with_fallback(sizes, tol, timeout_s=300):
+def _run_tpu_with_fallback(sizes, tol, timeout_s=540):
     import subprocess
 
-    for n in sizes:
+    for i, n in enumerate(sizes):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tpu-child", str(n)],
                 capture_output=True,
-                timeout=timeout_s,
+                # generous budget for the target size (a cold axon remote
+                # compile at 0.91M dofs can take minutes); tighter for the
+                # fallback sizes so a wedged tunnel still yields a record
+                timeout=timeout_s if i == 0 else 240,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            sys.stderr.write(out.stderr)
             for line in out.stdout.splitlines():
                 if line.startswith("CHILD_RESULT "):
                     d = json.loads(line[len("CHILD_RESULT "):])
@@ -279,7 +404,11 @@ def _run_tpu_with_fallback(sizes, tol, timeout_s=300):
             sys.stderr.write(
                 f"bench child n={n} failed (rc={out.returncode}); retrying\n"
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                sys.stderr.write(
+                    e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr
+                )
             sys.stderr.write(f"bench child n={n} timed out; retrying smaller\n")
     return None, None
 
@@ -304,8 +433,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        ndof, dt, iters, res, x = tpu_run(48, tol, maxiter=3000)
-        d = dict(ndof=ndof, dt=dt, iters=iters, res=res, umax=float(np.max(x)))
+        ndof, dt, iters, res, x, setup_s = tpu_run(48, tol, maxiter=3000)
+        d = dict(ndof=ndof, dt=dt, iters=iters, res=res,
+                 umax=float(np.max(x)), setup_s=setup_s)
         d["note"] = "TPU unavailable: measured on CPU backend"
     ndof, dt, iters, res = d["ndof"], d["dt"], d["iters"], d["res"]
     umax_tpu_val = d["umax"]
@@ -325,14 +455,16 @@ def main():
         "unit": "dofs/sec",
         "vs_baseline": round(tpu_dofs_per_sec / cpu_dofs_per_sec, 3),
         "detail": {
+            "preconditioner": os.environ.get("BENCH_PC", "gmg"),
             "tpu": {
                 "ndof": ndof,
                 "wall_s": round(dt, 4),
                 "pcg_iters": iters,
                 "rel_res": res,
                 "u_max": umax_tpu,
+                "setup_s": d.get("setup_s"),
             },
-            "cpu_scipy": {
+            "cpu_scipy_gmg": {
                 "ndof": ndof_c,
                 "wall_s": round(dt_c, 4),
                 "pcg_iters": iters_c,
@@ -340,6 +472,8 @@ def main():
             },
         },
     }
+    if "note" in d:
+        result["detail"]["note"] = d["note"]
     print(json.dumps(result))
 
 

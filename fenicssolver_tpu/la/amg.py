@@ -119,11 +119,21 @@ class AMGPreconditioner:
         presmooth=2,
         postsmooth=2,
         free_mask=None,
+        spmv="bell",
+        bell_budget_mb=512.0,
     ):
         """``free_mask``: 0/1 per dof; constrained (identity) rows are
         excluded from the hierarchy — they would otherwise persist as
-        uncoarsenable singleton aggregates on every level."""
+        uncoarsenable singleton aggregates on every level.
+
+        ``spmv="bell"`` stores level operators in block-ELL tiles
+        (``la/block_ell.py``) so smoothing/residual matvecs stream full
+        (8,128) lanes instead of scalar gathers — the TPU hot-path format —
+        falling back to CSR per level once ``bell_budget_mb`` of tile
+        memory is spent (fill-in is 10-25x CSR)."""
         import scipy.sparse as sp
+
+        from .block_ell import BC, BR
 
         self.presmooth = presmooth
         self.postsmooth = postsmooth
@@ -166,9 +176,33 @@ class AMGPreconditioner:
             P = (sp.eye(A.shape[0]) - (omega / lam) * (Dinv @ A)) @ P0
             P = sp.csr_matrix(P)
             Ac = (P.T @ A @ P).tocsr()
+            A_dev = None
+            if spmv == "bell" and bell_budget_mb > 0:
+                from .block_ell import BlockELL, build_block_ell
+
+                K, nrb, col_blocks, pos = build_block_ell(
+                    A.indptr, A.indices, A.shape[0]
+                )
+                data = jnp.asarray(A.data)
+                mb = K * nrb * BR * BC * data.dtype.itemsize / 1e6
+                if mb <= bell_budget_mb:
+                    tiles = (
+                        jnp.zeros(K * nrb * BR * BC, dtype=data.dtype)
+                        .at[jnp.asarray(pos)]
+                        .add(data)
+                        .reshape(K, nrb, BR, BC)
+                    )
+                    A_dev = BlockELL(
+                        tiles=tiles,
+                        col_blocks=jnp.asarray(col_blocks),
+                        n=A.shape[0],
+                    )
+                    bell_budget_mb -= mb
+            if A_dev is None:
+                A_dev = csr_from_scipy(A)
             levels.append(
                 dict(
-                    A=csr_from_scipy(A),
+                    A=A_dev,
                     diag=jnp.asarray(np.maximum(A.diagonal(), 1e-300)),
                     P=csr_from_scipy_rect(P),
                     R=csr_from_scipy_rect(sp.csr_matrix(P.T)),

@@ -43,15 +43,20 @@ class BlockELL(NamedTuple):
         return self.matvec(x)
 
 
-def build_block_ell(indptr, indices, n):
+def build_block_ell(indptr, indices, n, ncols=None):
     """Host-side structure build from a CSR pattern.
 
     Returns (col_blocks (K, nrb), pos (nnz,) mapping CSR entry -> flat index
     into tiles) so device-side assembly is one scatter:
         tiles = zeros(K*nrb*BR*BC).at[pos].add(csr_data_in_pattern_order)
+
+    ``ncols``: column-space size for rectangular row blocks (defaults to n;
+    used by the halo-sharded local row blocks whose columns span
+    owned+ghost local ids).
     """
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
+    ncols = n if ncols is None else ncols
     nrb = (n + BR - 1) // BR
     nnz = indices.shape[0]
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
@@ -60,7 +65,7 @@ def build_block_ell(indptr, indices, n):
     cb = indices.astype(np.int64) // BC
     c_in = indices.astype(np.int64) % BC
     # unique (rb, cb) tiles, slot index within each row block
-    key = rb * ((n // BC) + 2) + cb
+    key = rb * ((ncols // BC) + 2) + cb
     uniq, inverse = np.unique(key, return_inverse=True)
     tile_rb = uniq // ((n // BC) + 2)
     tile_cb = uniq % ((n // BC) + 2)

@@ -1,0 +1,151 @@
+"""Structured-lattice fast paths for P1 problems on BoxMesh grids.
+
+BoxMesh (``core/mesh.py``) triangulates an (nx, ny, nz) hex lattice with the
+Kuhn/Freudenthal 6-tet pattern, so a P1 space's sparsity is the fixed
+15-point monotone-offset stencil and every cell's Jacobian is one of six
+constant matrices.  These helpers construct the CSR pattern, the
+element-entry -> CSR-slot map, boundary dofs, and the per-cell geometry in
+O(ndof) vectorized numpy — replacing the generic global-sort setup path
+(~150 s at 0.91M dofs) with a few seconds.  Only the *setup* is
+structure-aware; the device-side assembly and SpMV consume the exact same
+arrays as the unstructured path.
+
+Reference parity: this accelerates the problem class the reference builds
+with dolfin's ``UnitCubeMesh``/``BoxMesh`` (e.g.
+``FenicsSolver/examples/test_linear_elasticity.py:42``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: the 15 monotone offsets of the Freudenthal triangulation, lex-sorted so
+#: per-row CSR columns come out ascending (vid is lex in (i, j, k))
+OFFSETS = np.array(
+    sorted(
+        (di, dj, dk)
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+        for dk in (-1, 0, 1)
+        if (di >= 0 and dj >= 0 and dk >= 0)
+        or (di <= 0 and dj <= 0 and dk <= 0)
+    ),
+    dtype=np.int64,
+)
+
+
+class LatticePattern:
+    """CSR pattern of the P1 stencil on an (Nx, Ny, Nz) vertex lattice."""
+
+    def __init__(self, nx, ny, nz):
+        Nx, Ny, Nz = nx + 1, ny + 1, nz + 1
+        self.shape3 = (Nx, Ny, Nz)
+        self.n = Nx * Ny * Nz
+        I, J, K = np.meshgrid(
+            np.arange(Nx), np.arange(Ny), np.arange(Nz), indexing="ij"
+        )
+        I, J, K = (
+            I.ravel().astype(np.int64),
+            J.ravel().astype(np.int64),
+            K.ravel().astype(np.int64),
+        )
+        off = OFFSETS
+        # presence mask & column ids, (nv, 15)
+        ni = I[:, None] + off[None, :, 0]
+        nj = J[:, None] + off[None, :, 1]
+        nk = K[:, None] + off[None, :, 2]
+        present = (
+            (ni >= 0) & (ni < Nx) & (nj >= 0) & (nj < Ny) & (nk >= 0) & (nk < Nz)
+        )
+        cols = (ni * Ny + nj) * Nz + nk
+        counts = present.sum(axis=1)
+        self.indptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.indptr[1:])
+        self.indices = cols[present].astype(np.int32)
+        # exclusive per-row rank of each offset among present ones
+        self._rank = (np.cumsum(present, axis=1) - present).astype(np.int32)
+        # linearized offset -> offset index lookup
+        self._deltas = (off[:, 0] * Ny + off[:, 1]) * Nz + off[:, 2]
+        order = np.argsort(self._deltas)
+        self._deltas_sorted = self._deltas[order]
+        self._delta_rank = order.argsort()  # not needed since lex==ascending
+        self._present = present
+
+    def entry_slots(self, rows, cols):
+        """CSR slot of each (row, col) entry; entries must be in-pattern."""
+        delta = cols.astype(np.int64) - rows.astype(np.int64)
+        oi = np.searchsorted(self._deltas_sorted, delta)
+        # OFFSETS are lex-sorted == ascending linearized delta, so oi IS the
+        # offset index directly
+        return self.indptr[rows] + self._rank[rows, oi]
+
+    def boundary_vertices(self):
+        Nx, Ny, Nz = self.shape3
+        I, J, K = np.meshgrid(
+            np.arange(Nx), np.arange(Ny), np.arange(Nz), indexing="ij"
+        )
+        bmask = (
+            (I == 0) | (I == Nx - 1) | (J == 0) | (J == Ny - 1)
+            | (K == 0) | (K == Nz - 1)
+        )
+        return np.nonzero(bmask.ravel())[0].astype(np.int32)
+
+
+def box_cells(nx, ny, nz):
+    """(nc, 4) cell-vertex array identical to BoxMesh's (``core/mesh.py:556-575``)
+    without constructing a Mesh (no facet tables, no coords gather)."""
+    Ny, Nz = ny + 1, nz + 1
+    I, J, K = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    I, J, K = I.ravel(), J.ravel(), K.ravel()
+
+    def vid(i, j, k):
+        return ((i * Ny + j) * Nz + k).astype(np.int32)
+
+    v = {
+        (di, dj, dk): vid(I + di, J + dj, K + dk)
+        for di in (0, 1)
+        for dj in (0, 1)
+        for dk in (0, 1)
+    }
+    tet_paths = [
+        ((0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)),
+        ((0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1)),
+        ((0, 0, 0), (0, 1, 0), (0, 1, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 0, 1), (0, 1, 1), (1, 1, 1)),
+    ]
+    return np.concatenate(
+        [np.stack([v[a], v[b], v[c], v[d]], axis=1) for a, b, c, d in tet_paths],
+        axis=0,
+    )
+
+
+def box_tet_geometry(nx, ny, nz, extent=(1.0, 1.0, 1.0), dtype=np.float32):
+    """Per-cell (Jinv, detJ) for BoxMesh without per-cell linear algebra.
+
+    Cells are type-major (6 blocks of nx*ny*nz congruent tets,
+    ``core/mesh.py:565-575``), so Jinv/detJ are 6 constants tiled."""
+    hx, hy, hz = extent[0] / nx, extent[1] / ny, extent[2] / nz
+    tet_paths = [
+        ((0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)),
+        ((0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1)),
+        ((0, 0, 0), (0, 1, 0), (0, 1, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 0, 1), (0, 1, 1), (1, 1, 1)),
+    ]
+    h = np.array([hx, hy, hz])
+    ncub = nx * ny * nz
+    Jinv6 = np.zeros((6, 3, 3))
+    det6 = np.zeros(6)
+    for t, path in enumerate(tet_paths):
+        X = np.array(path, dtype=np.float64) * h  # (4, 3)
+        J = (X[1:] - X[:1]).T
+        det6[t] = abs(np.linalg.det(J))
+        Jinv6[t] = np.linalg.inv(J)
+    Jinv = np.repeat(Jinv6.astype(dtype), ncub, axis=0)  # (nc, 3, 3)
+    detJ = np.repeat(det6.astype(dtype), ncub)
+    return Jinv, detJ
