@@ -67,8 +67,8 @@ def build_block_ell(indptr, indices, n, ncols=None):
     # unique (rb, cb) tiles, slot index within each row block
     key = rb * ((ncols // BC) + 2) + cb
     uniq, inverse = np.unique(key, return_inverse=True)
-    tile_rb = uniq // ((n // BC) + 2)
-    tile_cb = uniq % ((n // BC) + 2)
+    tile_rb = uniq // ((ncols // BC) + 2)
+    tile_cb = uniq % ((ncols // BC) + 2)
     counts = np.bincount(tile_rb, minlength=nrb)
     K = int(counts.max())
     offsets = np.zeros(nrb + 1, dtype=np.int64)

@@ -1,0 +1,371 @@
+"""Halo-exchange sharded Krylov solve (ppermute ghosts, O(interface) comms).
+
+The scalable half of the domain-decomposition story (SURVEY.md §5.7-5.8,
+replacing dolfin/PETSc's MPI MatMult): dofs are partitioned over the device
+mesh by a balanced coordinate-quantile grid, each device stores only its row
+block (block-ELL, local column numbering) and a local vector slice
+(owned + ghosts).  Every matvec refreshes ghost values with offset-grouped
+``lax.ppermute`` exchanges — communication is O(interface), per-device
+memory is ~ndof/n_dev + interface, unlike ``sharding.ShardedEllipticSolver``
+which replicates the dof vector and psums full-length contributions.
+
+Krylov dot products reduce owned-dof partials with a scalar ``psum``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import PartitionSpec as P
+
+from ..la.block_ell import BC, BR, build_block_ell
+
+AXIS = "dd"
+
+
+def _factor_grid(n_dev, gdim):
+    """Factor n_dev into gdim near-equal factors, largest first."""
+    grid = [1] * gdim
+    rem = n_dev
+    ax = 0
+    while rem > 1:
+        # smallest prime factor
+        f = next(p for p in range(2, rem + 1) if rem % p == 0)
+        grid[ax % gdim] *= f
+        rem //= f
+        ax += 1
+    return tuple(sorted(grid, reverse=True))
+
+
+def quantile_grid_partition(coords, grid):
+    """Owner rank per dof: balanced recursive coordinate-quantile grid.
+
+    Splits dofs into equal-count slabs by x, each slab by y, etc., so every
+    rank owns within +-1 of ndof/n_dev dofs (the SCOTCH-balance analog)."""
+    n = coords.shape[0]
+    owner = np.zeros(n, dtype=np.int32)
+
+    def split(idx, axes_grid, base):
+        if not axes_grid:
+            owner[idx] = base
+            return
+        parts = axes_grid[0]
+        if parts == 1:
+            split(idx, axes_grid[1:], base)
+            return
+        ax = len(grid) - len(axes_grid)
+        order = idx[np.argsort(coords[idx, ax], kind="stable")]
+        stride = int(np.prod(axes_grid[1:]))
+        cuts = np.linspace(0, len(order), parts + 1).astype(np.int64)
+        for p in range(parts):
+            split(order[cuts[p] : cuts[p + 1]], axes_grid[1:], base + p * stride)
+
+    split(np.arange(n), list(grid), 0)
+    return owner
+
+
+class HaloShardedSolver:
+    """Distributed CG for an assembled SPD system with Dirichlet masking."""
+
+    def __init__(self, A, dof_coords, devices=None, grid=None):
+        """``A``: scipy CSR (or framework CSRMatrix) assembled on host;
+        ``dof_coords``: (ndof, gdim) coordinates used for partitioning."""
+        if hasattr(A, "to_scipy"):
+            A = A.to_scipy()
+        A = A.tocsr()
+        devices = devices if devices is not None else jax.devices()
+        nd = len(devices)
+        self.n_dev = nd
+        self.device_mesh = DeviceMesh(np.array(devices), (AXIS,))
+        ndof = A.shape[0]
+        self.ndof = ndof
+        coords = np.asarray(dof_coords, dtype=np.float64)
+        gdim = coords.shape[1]
+        grid = grid or _factor_grid(nd, gdim)
+        assert int(np.prod(grid)) == nd, (grid, nd)
+        self.grid = grid
+        owner = quantile_grid_partition(coords, grid)
+        gc = np.stack(np.unravel_index(np.arange(nd), grid), axis=1)  # (nd, gdim)
+
+        owned = [np.nonzero(owner == r)[0] for r in range(nd)]
+        n_own_max = max(len(o) for o in owned)
+
+        # per-rank ghost sets (columns of owned rows not owned locally);
+        # vectorized over the nnz via the per-entry row owner
+        rows_of_nnz = np.repeat(
+            np.arange(ndof, dtype=np.int64), np.diff(A.indptr)
+        )
+        owner_nnz = owner[rows_of_nnz]
+        ghosts = []
+        for r in range(nd):
+            cols = np.unique(A.indices[owner_nnz == r])
+            ghosts.append(np.setdiff1d(cols, owned[r], assume_unique=False))
+        n_ghost_max = max(len(g) for g in ghosts)
+        # local layout: [owned (pad to n_own_max) | ghosts (pad) | 1 dummy]
+        L = n_own_max + n_ghost_max
+        self.Lp = L + 1
+        self.n_own_max = n_own_max
+
+        # global -> local per rank
+        g2l = np.full((nd, ndof), L, dtype=np.int64)  # default: dummy slot
+        for r in range(nd):
+            g2l[r, owned[r]] = np.arange(len(owned[r]))
+            g2l[r, ghosts[r]] = n_own_max + np.arange(len(ghosts[r]))
+
+        # per-rank local row blocks in block-ELL (uniform K, nrb)
+        tiles_list, cb_list = [], []
+        K_max = 0
+        nrb = (n_own_max + BR - 1) // BR
+        ell_parts = []
+        for r in range(nd):
+            ids = owned[r]
+            counts = (
+                A.indptr[ids + 1] - A.indptr[ids]
+                if len(ids)
+                else np.zeros(0, np.int64)
+            )
+            indptr_r = np.zeros(n_own_max + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr_r[1 : len(ids) + 1])
+            indptr_r[len(ids) + 1 :] = indptr_r[len(ids)]
+            # owned ids are ascending, so the rank's nnz (in CSR order)
+            # is exactly the owner_nnz == r subset, already row-grouped
+            take = np.nonzero(owner_nnz == r)[0]
+            cols_local = g2l[r, A.indices[take]].astype(np.int32)
+            data_r = A.data[take]
+            K_r, nrb_r, cb_r, pos_r = build_block_ell(
+                indptr_r, cols_local, n_own_max, ncols=self.Lp
+            )
+            ell_parts.append((K_r, nrb_r, cb_r, pos_r, data_r))
+            K_max = max(K_max, K_r)
+        for K_r, nrb_r, cb_r, pos_r, data_r in ell_parts:
+            tiles = np.zeros(K_max * nrb * BR * BC, dtype=np.float64)
+            np.add.at(tiles, pos_r, data_r)
+            tiles_list.append(tiles.reshape(K_max, nrb, BR, BC))
+            cb = np.zeros((K_max, nrb), dtype=np.int32)
+            cb[:K_r] = cb_r
+            cb_list.append(cb)
+        self.K, self.nrb = K_max, nrb
+
+        # exchange rounds: group (owner -> ghost-holder) pairs by grid offset
+        rounds = {}
+        for r in range(nd):
+            for g_dof_owner in np.unique(owner[ghosts[r]]):
+                off = tuple(gc[r] - gc[g_dof_owner])
+                rounds.setdefault(off, []).append((int(g_dof_owner), r))
+        self.perms = []
+        send_list, recv_list = [], []
+        for off, pairs in sorted(rounds.items()):
+            nbuf = 0
+            per_rank_send = [np.zeros(0, np.int64)] * nd
+            per_rank_recv = [np.zeros(0, np.int64)] * nd
+            for s, r in pairs:
+                shared = ghosts[r][owner[ghosts[r]] == s]  # sorted global ids
+                per_rank_send[s] = g2l[s, shared]  # owner's local ids
+                per_rank_recv[r] = g2l[r, shared]  # receiver's ghost slots
+                nbuf = max(nbuf, len(shared))
+            send = np.full((nd, nbuf), L, dtype=np.int32)  # dummy slot
+            recv = np.full((nd, nbuf), L, dtype=np.int32)
+            for rank in range(nd):
+                send[rank, : len(per_rank_send[rank])] = per_rank_send[rank]
+                recv[rank, : len(per_rank_recv[rank])] = per_rank_recv[rank]
+            self.perms.append(tuple((s, r) for s, r in pairs))
+            send_list.append(send)
+            recv_list.append(recv)
+
+        self._owned = owned
+        self._ghosts = ghosts
+        self._g2l = g2l
+        self._local_of = [
+            np.concatenate([owned[r], ghosts[r]]) for r in range(nd)
+        ]
+        own_mask = np.zeros((nd, self.Lp), dtype=np.float64)
+        for r in range(nd):
+            own_mask[r, : len(owned[r])] = 1.0
+        self._dev = dict(
+            tiles=np.stack(tiles_list),
+            col_blocks=np.stack(cb_list),
+            own_mask=own_mask,
+            sends=tuple(send_list),
+            recvs=tuple(recv_list),
+        )
+        self._compiled = None
+
+    # -- host <-> device vector redistribution --------------------------------
+    def scatter_local(self, v_global):
+        """Global (ndof,) -> per-device local (nd, Lp) with ghosts filled.
+
+        Layout per rank: owned at [0, n_own_r), ghosts at
+        [n_own_max, n_own_max + n_ghost_r), matching the g2l map."""
+        v = np.asarray(v_global)
+        out = np.zeros((self.n_dev, self.Lp), dtype=v.dtype)
+        for r in range(self.n_dev):
+            ow, gh = self._owned[r], self._ghosts[r]
+            out[r, : len(ow)] = v[ow]
+            out[r, self.n_own_max : self.n_own_max + len(gh)] = v[gh]
+        return out
+
+    def gather_global(self, v_local):
+        v_local = np.asarray(v_local)
+        out = np.zeros(self.ndof, dtype=v_local.dtype)
+        for r in range(self.n_dev):
+            ids = self._owned[r]
+            out[ids] = v_local[r, : len(ids)]
+        return out
+
+    # -- device program --------------------------------------------------------
+    def _build(self, tol, maxiter, dtype):
+        mesh = self.device_mesh
+        Lp, n_own_max = self.Lp, self.n_own_max
+        K, nrb = self.K, self.nrb
+        perms = self.perms
+        ncb = (Lp + BC - 1) // BC
+
+        nsr = len(self._dev["sends"])
+        in_specs = (
+            P(AXIS),  # tiles
+            P(AXIS),  # col_blocks
+            P(AXIS),  # own_mask
+            tuple(P(AXIS) for _ in range(nsr)),  # sends
+            tuple(P(AXIS) for _ in range(nsr)),  # recvs
+            P(AXIS),  # b_loc
+            P(AXIS),  # free_loc
+            P(AXIS),  # ubc_loc
+        )
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(AXIS), P()),
+            check_vma=False,
+        )
+        def pcg(tiles, col_blocks, own_mask, sends, recvs, b, free, ubc):
+            tiles = tiles[0]
+            col_blocks = col_blocks[0]
+            own_mask = own_mask[0]
+            sends = tuple(s[0] for s in sends)
+            recvs = tuple(r[0] for r in recvs)
+            b = b[0]
+            free = free[0]
+            ubc = ubc[0]
+
+            def exchange(x):
+                # refresh ghost slots from their owners; padded entries point
+                # at the sacrificial dummy slot (index Lp-1, never read)
+                for si in range(len(perms)):
+                    buf = x[sends[si]]
+                    rec = jax.lax.ppermute(buf, AXIS, list(perms[si]))
+                    x = x.at[recvs[si]].set(rec)
+                return x
+
+            def spmv_own(x):
+                xp = jnp.zeros(ncb * BC, dtype=x.dtype).at[:Lp].set(x)
+                x2 = xp.reshape(ncb, BC)
+
+                def slot(kk, y):
+                    xb = x2[col_blocks[kk]]
+                    return y + jnp.einsum("rij,rj->ri", tiles[kk], xb)
+
+                y = jax.lax.fori_loop(
+                    0, K, slot, jnp.zeros((nrb, BR), x.dtype)
+                )
+                return y.reshape(-1)[:n_own_max]
+
+            def matvec_raw(x):
+                y = jnp.zeros(Lp, dtype=x.dtype).at[:n_own_max].set(spmv_own(x))
+                return exchange(y)
+
+            def matvec(x):
+                return free * matvec_raw(free * x) + (1 - free) * x
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.sum(own_mask * a * c), AXIS)
+
+            diag = _bell_diagonal(tiles, col_blocks, n_own_max)
+            diag = jnp.zeros(Lp, dtype=b.dtype).at[:n_own_max].set(diag)
+            diag = exchange(diag)
+            diag = free * diag + (1 - free)
+            inv_d = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+
+            rhs = free * (b - matvec_raw(ubc)) + (1 - free) * ubc
+            x0 = jnp.zeros_like(b)
+            r0 = rhs - matvec(x0)
+            z0 = inv_d * r0
+            bnorm = jnp.sqrt(dot(rhs, rhs))
+            target = tol * jnp.maximum(bnorm, 1e-30)
+
+            def cond(st):
+                x, r, z, p, rz, i = st
+                return (jnp.sqrt(dot(r, r)) > target) & (i < maxiter)
+
+            def body(st):
+                x, r, z, p, rz, i = st
+                Ap = matvec(p)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = inv_d * r
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, i + 1)
+
+            x, r, *_, iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, dot(r0, z0), jnp.array(0))
+            )
+            return x[None], jnp.asarray(iters)
+
+        return pcg
+
+    def solve(self, b, free_mask, u_bc, tol=1e-10, maxiter=2000):
+        dtype = jnp.asarray(b).dtype
+        if self._compiled is None:
+            self._compiled = jax.jit(self._build(tol, maxiter, dtype))
+        d = self._dev
+        pad0 = lambda a: jnp.asarray(a, dtype=dtype)
+        b_loc = pad0(self.scatter_local(np.asarray(b)))
+        # padding/dummy slots must be constrained (identity) rows
+        free_np = self.scatter_local(np.asarray(free_mask))
+        valid = np.zeros((self.n_dev, self.Lp), dtype=bool)
+        for r in range(self.n_dev):
+            valid[r, : len(self._owned[r])] = True
+            valid[
+                r,
+                self.n_own_max : self.n_own_max + len(self._ghosts[r]),
+            ] = True
+        free_np[~valid] = 0.0
+        free_loc = pad0(free_np)
+        ubc_loc = pad0(self.scatter_local(np.asarray(u_bc)))
+        x, iters = self._compiled(
+            jnp.asarray(d["tiles"], dtype=dtype),
+            jnp.asarray(d["col_blocks"]),
+            jnp.asarray(d["own_mask"], dtype=dtype),
+            tuple(jnp.asarray(s) for s in d["sends"]),
+            tuple(jnp.asarray(r) for r in d["recvs"]),
+            b_loc,
+            free_loc,
+            ubc_loc,
+        )
+        return self.gather_global(x), int(np.asarray(iters).ravel()[0])
+
+
+def _bell_diagonal(tiles, col_blocks, n_own):
+    """diag[row] for the local row-block: for each row block rb and slot k,
+    the diagonal of row r (global col == r) sits at tile col (r % BC) when
+    col_blocks[k, rb] == r // BC.  Rows here are LOCAL row ids [0, n_own)."""
+    K, nrb, br, bc = tiles.shape
+    rows = jnp.arange(nrb * br)
+    rb = rows // br
+    r_in = rows % br
+    want_cb = rows // bc
+    c_in = rows % bc
+    out = jnp.zeros(nrb * br, dtype=tiles.dtype)
+    for k in range(K):
+        hit = col_blocks[k][rb] == want_cb
+        vals = tiles[k][rb, r_in, c_in]
+        out = out + jnp.where(hit, vals, 0.0)
+    return out[:n_own]

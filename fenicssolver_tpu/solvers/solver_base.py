@@ -576,6 +576,28 @@ class SolverBase:
             slaves, _ = pinfo
             free = free.at[slaves].set(0.0)
             ubc = ubc.at[slaves].set(0.0)
+        # distributed solve: halo-exchange sharded CG over the device mesh
+        # (solver_parameters["distributed"] = true routes a JSON case through
+        # parallel/halo.py; SPD only — saddle-point systems stay serial)
+        if sp.get("distributed") and spd and pinfo is None:
+            import jax as _jax
+
+            if len(_jax.devices()) > 1:
+                from ..parallel.halo import HaloShardedSolver
+
+                hs = HaloShardedSolver(A, self.function_space.dof_coords)
+                tol = sp.get("relative_tolerance", 1e-8)
+                x, it = hs.solve(
+                    b, free, ubc, tol=tol,
+                    maxiter=sp.get("maximum_iterations", 500) * 10,
+                )
+                if sp.get("monitor_convergence"):
+                    self.logger.info("halo-sharded CG: %d iters", it)
+                return jnp.asarray(x)
+            self.logger.warning(
+                "distributed solve requested but only one device is visible; "
+                "falling back to the serial path"
+            )
         rhs = assembly.constrained_rhs(A.matvec, b, free, ubc)
         if n <= DENSE_LIMIT:
             Ac = assembly.constrain_csr(A, free)
