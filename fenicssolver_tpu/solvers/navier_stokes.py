@@ -418,24 +418,128 @@ class CoupledNavierStokesSolver(SolverBase):
                             "pressure boundary type `%s` unsupported", btype
                         )
                 elif var == "temperature" and self.solving_temperature:
+                    # full scalar BC taxonomy on the temperature block
+                    # (reference instantiates a ScalarTransportSolver on
+                    # sub-space 2, CoupledNavierStokesSolver.py:247-286, so
+                    # coupled runs accept the whole set, not just Dirichlet)
+                    cp = float(
+                        self.material.get("specific_heat_capacity", 4200.0)
+                    )
+                    capacity = rho * cp
                     if btype in ("Dirichlet", "fixedValue"):
-                        off = int(W.sub_offsets[2])
-                        tdofs = off + W.subspaces[2].facet_dofs(fids)
-                        val = self.translate_value(bc["value"])
-                        tval = (
-                            float(val.value)
-                            if isinstance(val, Constant)
-                            else float(val)
-                            if isinstance(val, numbers.Number)
-                            else val.eval_at(
-                                W.subspaces[2].dof_coords[tdofs - off],
-                                t=self.get_current_time(),
-                            )
+                        self._thermal_dirichlet(dirichlet, fids, bc["value"])
+                    elif btype in ("Neumann", "fixedGradient"):
+                        # gradient value, capacity-scaled (ScalarTransport
+                        # parity, scalar_transport.py:354-356)
+                        self._add_thermal_facet_term(
+                            form, fids, qdeg, "gradient", bc["value"],
+                            None, capacity,
                         )
-                        dirichlet.add(tdofs, tval)
-                    # Neumann-type thermal BCs arrive via the scalar solver in
-                    # segregated runs; natural zero-flux otherwise
+                    elif btype in ("mixed", "Robin"):
+                        self._thermal_dirichlet(dirichlet, fids, bc["value"])
+                        self._add_thermal_facet_term(
+                            form, fids, qdeg, "gradient", bc["gradient"],
+                            None, capacity,
+                        )
+                    elif "flux" in btype.lower():
+                        self._add_thermal_facet_term(
+                            form, fids, qdeg, "flux", bc["value"],
+                            None, capacity,
+                        )
+                    elif btype == "HTC":
+                        self._add_thermal_facet_term(
+                            form, fids, qdeg, "HTC", bc["value"],
+                            bc["ambient"], capacity,
+                        )
+                    elif btype == "symmetry":
+                        pass  # natural zero flux
+                    else:
+                        self.logger.warning(
+                            "temperature boundary type `%s` unsupported",
+                            btype,
+                        )
         return dirichlet.finalize()
+
+    def _thermal_dirichlet(self, dirichlet, fids, value):
+        if len(fids) == 0:
+            return
+        W = self.function_space
+        off = int(W.sub_offsets[2])
+        tdofs = off + W.subspaces[2].facet_dofs(fids)
+        val = self.translate_value(value)
+        tval = (
+            float(val.value)
+            if isinstance(val, Constant)
+            else float(val)
+            if isinstance(val, numbers.Number)
+            else val.eval_at(
+                W.subspaces[2].dof_coords[tdofs - off],
+                t=self.get_current_time(),
+            )
+        )
+        dirichlet.add(tdofs, tval)
+
+    def _add_thermal_facet_term(self, form, fids, qdeg, kind, value,
+                                ambient, capacity):
+        """Neumann/flux/HTC boundary integrals on the temperature block of
+        the mixed residual.  The block is in energy form (cond*grad T +
+        capacity*(advection + d/dt), see generate_form), so contributions are
+        raw flux densities; ``gradient`` values are capacity-scaled to match
+        the segregated ScalarTransportSolver's convention."""
+        if len(fids) == 0:
+            return
+        W = self.function_space
+        Vv = W.subspaces[0]
+        d = Vv.vdim
+        kv = Vv.scalar_space.ndof_el
+        kp = W.subspaces[1].ndof_el
+        kT = W.subspaces[2].ndof_el
+        nT_off = kv * d + kp
+        fctx = geometry.build_facet_context(W, fids, qdeg)
+        fphi_tab, _, fw, _ = geometry.facet_basis_tables(
+            self.mesh.tdim, W.subspaces[2].degree, qdeg
+        )
+        fphi_T = jnp.asarray(fphi_tab)
+        fwj = jnp.asarray(fw)
+        g_arr = assembly.coeff_at_qp(
+            self.translate_value(value), np.asarray(fctx.qpx),
+            t=self.get_current_time(),
+        )
+        aux = {}
+        if isinstance(g_arr, np.ndarray):
+            aux["g"] = jnp.asarray(g_arr)
+        Ta_arr = None
+        if ambient is not None:
+            Ta_arr = assembly.coeff_at_qp(
+                self.translate_value(ambient), np.asarray(fctx.qpx)
+            )
+            if isinstance(Ta_arr, np.ndarray):
+                aux["Ta"] = jnp.asarray(Ta_arr)
+
+        def kernel(we, geom, aux_e):
+            phif = fphi_T[geom.local_id]  # (nq, kT)
+            T_q = phif @ we[nT_off : nT_off + kT]
+            g = aux_e["g"] if (aux_e is not None and "g" in aux_e) else g_arr
+            if kind == "HTC":
+                Ta = (
+                    aux_e["Ta"]
+                    if (aux_e is not None and "Ta" in aux_e)
+                    else Ta_arr
+                )
+                val = g * (Ta - T_q)
+            elif kind == "gradient":
+                val = g * capacity
+            else:  # raw flux density
+                val = g
+            val = jnp.broadcast_to(jnp.asarray(val), T_q.shape)
+            r = jnp.zeros(we.shape[0], dtype=we.dtype)
+            return r.at[nT_off : nT_off + kT].set(
+                -jnp.einsum("q,q,qi->i", fwj * geom.detF, val, phif)
+            )
+
+        form.facet_terms.append(
+            assembly.FacetTerm(kernel=kernel, ctx=fctx, aux=aux or None)
+        )
 
     def _vel_dirichlet(self, dirichlet, fids, value):
         if len(fids) == 0:
