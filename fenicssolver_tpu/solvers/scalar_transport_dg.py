@@ -64,25 +64,32 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
         vel = self.settings.get("convective_velocity")
         if not hasattr(self, "convective_velocity"):
             self.convective_velocity = vel
+        # spatially varying velocity supported (the reference form takes any
+        # field, ScalarTransportDGSolver.py:85-139): per-quadrature-point
+        # values are tabulated per cell/facet context; upwinding stays exact
+        # because both traces of an interior facet share quadrature points
         vel_vec = None
+        vel_mode = None
+        v_t = None
         if vel is not None:
             v_t = self.translate_value(vel)
             varr = np.asarray(
                 assembly.coeff_at_qp(v_t, np.asarray(ctx.qpx), quad_pts=tab.qp),
                 dtype=np.float64,
             )
-            if varr.ndim == 3:  # (nc, nq, d): require spatially constant
-                if not np.allclose(varr, varr[0, 0]):
-                    raise SolverError(
-                        "DG solver supports constant convective velocity only"
-                    )
-                varr = varr[0, 0]
-            vel_vec = jnp.asarray(np.broadcast_to(varr, (mesh.gdim,)))
+            if varr.ndim == 3 and not np.allclose(varr, varr[0, 0]):
+                vel_mode = "varying"
+            else:
+                vel_mode = "const"
+                flat = varr[0, 0] if varr.ndim == 3 else varr
+                vel_vec = jnp.asarray(np.broadcast_to(flat, (mesh.gdim,)))
 
         transient = bool(self.transient_settings["transient"])
         dt = self.get_time_step(time_iter_) if transient else 1.0
 
         aux = {"Tprev": jnp.asarray(T_prev.values)[ctx.cell_dofs]}
+        if vel_mode == "varying":
+            aux["vel"] = jnp.asarray(varr)  # (nc, nq, d)
         bs = self.get_body_source()
         src = None
         if bs is not None and not isinstance(bs, dict):
@@ -97,9 +104,15 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
             T_q = phi @ ue
             wdet = qw * geom.detJ
             r = kappa * jnp.einsum("q,qg,qig->i", wdet, gT, dphig)
-            if vel_vec is not None:
+            if vel_mode is not None:
                 # advection integrated by parts: - T (v . grad Tq)
-                vq = jnp.broadcast_to(vel_vec, (phi.shape[0], vel_vec.shape[-1]))
+                vq = (
+                    aux_e["vel"]
+                    if vel_mode == "varying"
+                    else jnp.broadcast_to(
+                        vel_vec, (phi.shape[0], vel_vec.shape[-1])
+                    )
+                )
                 r = r - capacity * jnp.einsum(
                     "q,q,qig,qg->i", wdet, T_q, dphig, vq
                 )
@@ -126,6 +139,14 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
         fphi = jnp.asarray(fphi_tab)
         fdphi = jnp.asarray(fdphi_tab)
         fwj = jnp.asarray(fw)
+
+        if_aux = None
+        if vel_mode == "varying":
+            vif = np.asarray(
+                assembly.coeff_at_qp(v_t, np.asarray(ifctx.qpx)),
+                dtype=np.float64,
+            )
+            if_aux = {"vel": jnp.asarray(vif)}  # (nf, nq, d)
 
         def interior_kernel(ue, geom, aux_e):
             up, um = ue[:k], ue[k:]
@@ -154,8 +175,12 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
             rp = rp - kappa * jnp.einsum("q,q,qi->i", wdetF, jumpT, avg_gphi_p)
             rm = rm - kappa * jnp.einsum("q,q,qi->i", wdetF, jumpT, avg_gphi_m)
 
-            if vel_vec is not None:
-                vq = jnp.broadcast_to(vel_vec, (phip.shape[0], n.shape[0]))
+            if vel_mode is not None:
+                vq = (
+                    aux_e["vel"]
+                    if vel_mode == "varying"
+                    else jnp.broadcast_to(vel_vec, (phip.shape[0], n.shape[0]))
+                )
                 vn = jnp.einsum("qg,g->q", vq, n)
                 up_flux = jnp.where(vn >= 0, Tp, Tm) * vn * capacity
                 rp = rp + jnp.einsum("q,q,qi->i", wdetF, up_flux, phip)
@@ -163,16 +188,19 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
             return jnp.concatenate([rp, rm])
 
         form.facet_terms.append(
-            assembly.FacetTerm(kernel=interior_kernel, ctx=ifctx)
+            assembly.FacetTerm(kernel=interior_kernel, ctx=ifctx, aux=if_aux)
         )
 
         # boundary conditions: weak Dirichlet (Nitsche/SIPG) + flux types
-        self._dg_boundary_terms(form, qdeg, kappa, capacity, alpha, vel_vec)
+        self._dg_boundary_terms(
+            form, qdeg, kappa, capacity, alpha, vel_vec, vel_mode, v_t
+        )
         form.finalize()
         empty = assembly.DirichletData(V.ndof).finalize()
         return (form, jnp.zeros(V.ndof)), empty
 
-    def _dg_boundary_terms(self, form, qdeg, kappa, capacity, alpha, vel_vec):
+    def _dg_boundary_terms(self, form, qdeg, kappa, capacity, alpha, vel_vec,
+                           vel_mode=None, v_t=None):
         V = self.function_space
         mesh = self.mesh
         fphi_tab, fdphi_tab, fw, _ = geometry.facet_basis_tables(
@@ -182,7 +210,22 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
         fdphi = jnp.asarray(fdphi_tab)
         fwj = jnp.asarray(fw)
         h = jnp.asarray(mesh.cell_sizes())
+        if vel_mode is None and vel_vec is not None:
+            vel_mode = "const"
 
+        def _facet_vel(fctx):
+            """(nf, nq, d) velocity at this context's quadrature points, or
+            None when advection is constant/absent."""
+            if vel_mode != "varying":
+                return None
+            return jnp.asarray(
+                np.asarray(
+                    assembly.coeff_at_qp(v_t, np.asarray(fctx.qpx)),
+                    dtype=np.float64,
+                )
+            )
+
+        covered = []
         for name, bc_settings in self.boundary_conditions.items():
             i = bc_settings["boundary_id"]
             bc = self.get_boundary_variable(bc_settings)
@@ -190,20 +233,28 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
             fids = self.boundary_facet_ids(i)
             if len(fids) == 0:
                 continue
+            covered.append(np.asarray(fids))
             fctx = geometry.build_facet_context(V, fids, qdeg)
             if btype in ("Dirichlet", "fixedValue"):
                 gval = self.translate_value(bc["value"])
                 g_arr = assembly.coeff_at_qp(
                     gval, np.asarray(fctx.qpx), t=self.get_current_time()
                 )
-                g_dev = (
-                    jnp.asarray(g_arr)
-                    if isinstance(g_arr, np.ndarray)
-                    else float(g_arr)
-                )
                 h_of = h[np.asarray(fctx.cells)]
+                dir_aux = {"h": h_of}
+                if isinstance(g_arr, np.ndarray):
+                    # per-facet array: route through aux so the facet vmap
+                    # slices it (a closed-over (nf, nq) array would arrive
+                    # whole inside the per-facet kernel)
+                    dir_aux["g"] = jnp.asarray(g_arr)
+                    g_dev = None
+                else:
+                    g_dev = float(g_arr)
+                vf = _facet_vel(fctx)
+                if vf is not None:
+                    dir_aux["vel"] = vf
 
-                def dir_kernel(ue, geom, aux_e, g=g_dev, hh=None):
+                def dir_kernel(ue, geom, aux_e, g=g_dev):
                     phif = fphi[geom.local_id]
                     dgf = jnp.einsum(
                         "qkt,tg->qkg", fdphi[geom.local_id], geom.Jinv
@@ -212,30 +263,38 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
                     wdetF = fwj * geom.detF
                     T_q = phif @ ue
                     gT_n = jnp.einsum("qkg,k,g->q", dgf, ue, n)
-                    gq = jnp.broadcast_to(jnp.asarray(g), T_q.shape) if jnp.ndim(
-                        g
-                    ) == 0 else (g if jnp.ndim(g) == 1 else g)
+                    gq = (
+                        aux_e["g"]
+                        if (aux_e is not None and "g" in aux_e)
+                        else jnp.broadcast_to(jnp.asarray(g), T_q.shape)
+                    )
                     pen = alpha * kappa / (aux_e["h"] if aux_e else 1.0)
                     diff = T_q - gq
                     r = pen * jnp.einsum("q,q,qi->i", wdetF, diff, phif)
                     r = r - kappa * jnp.einsum("q,q,qi->i", wdetF, gT_n, phif)
                     gphi_n = jnp.einsum("qig,g->qi", dgf, n)
                     r = r - kappa * jnp.einsum("q,q,qi->i", wdetF, diff, gphi_n)
-                    if vel_vec is not None:
-                        vq = jnp.broadcast_to(vel_vec, (phif.shape[0], n.shape[0]))
+                    if vel_mode is not None:
+                        vq = (
+                            aux_e["vel"]
+                            if vel_mode == "varying"
+                            else jnp.broadcast_to(
+                                vel_vec, (phif.shape[0], n.shape[0])
+                            )
+                        )
                         vn = jnp.einsum("qg,g->q", vq, n)
                         flux = capacity * jnp.where(vn >= 0, T_q * vn, gq * vn)
                         r = r + jnp.einsum("q,q,qi->i", wdetF, flux, phif)
                     return r
 
                 form.facet_terms.append(
-                    assembly.FacetTerm(
-                        kernel=dir_kernel, ctx=fctx, aux={"h": h_of}
-                    )
+                    assembly.FacetTerm(kernel=dir_kernel, ctx=fctx, aux=dir_aux)
                 )
             elif btype == "symmetry":
-                if vel_vec is not None:
-                    self._dg_outflow_term(form, fctx, capacity, vel_vec)
+                if vel_mode is not None:
+                    self._dg_outflow_term(
+                        form, fctx, capacity, vel_vec, _facet_vel(fctx), qdeg
+                    )
             elif "flux" in btype.lower() or btype in (
                 "Neumann", "fixedGradient", "electric_current",
             ):
@@ -244,17 +303,37 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
                 g_arr = assembly.coeff_at_qp(
                     g, np.asarray(fctx.qpx), t=self.get_current_time()
                 )
-                gd = jnp.asarray(np.asarray(g_arr, dtype=np.float64))
+                flux_aux = {}
+                if isinstance(g_arr, np.ndarray):
+                    flux_aux["g"] = jnp.asarray(g_arr)
+                    gd = None
+                else:
+                    gd = float(g_arr)
+                vf = _facet_vel(fctx)
+                if vf is not None:
+                    flux_aux["vel"] = vf
+                flux_aux = flux_aux or None
 
                 def flux_kernel(ue, geom, aux_e, g=gd, s=scale):
                     phif = fphi[geom.local_id]
                     wdetF = fwj * geom.detF
                     T_q = phif @ ue
-                    val = jnp.broadcast_to(g * s, T_q.shape)
+                    gq = (
+                        aux_e["g"]
+                        if (aux_e is not None and "g" in aux_e)
+                        else jnp.asarray(g)
+                    )
+                    val = jnp.broadcast_to(gq * s, T_q.shape)
                     r = -jnp.einsum("q,q,qi->i", wdetF, val, phif)
-                    if vel_vec is not None:
-                        vq = jnp.broadcast_to(vel_vec, (phif.shape[0],
-                                                        geom.normal.shape[0]))
+                    if vel_mode is not None:
+                        vq = (
+                            aux_e["vel"]
+                            if vel_mode == "varying"
+                            else jnp.broadcast_to(
+                                vel_vec,
+                                (phif.shape[0], geom.normal.shape[0]),
+                            )
+                        )
                         vn = jnp.einsum("qg,g->q", vq, geom.normal)
                         r = r + capacity * jnp.einsum(
                             "q,q,qi->i", wdetF, jnp.maximum(vn, 0) * T_q, phif
@@ -262,28 +341,57 @@ class ScalarTransportDGSolver(ScalarTransportSolver):
                     return r
 
                 form.facet_terms.append(
-                    assembly.FacetTerm(kernel=flux_kernel, ctx=fctx)
+                    assembly.FacetTerm(kernel=flux_kernel, ctx=fctx, aux=flux_aux)
                 )
             else:
                 raise SolverError(f"DG boundary type `{btype}` unsupported")
 
-    def _dg_outflow_term(self, form, fctx, capacity, vel_vec):
+        # unmarked (natural) boundaries still need the advective closure of
+        # the by-parts volume term: outflow carries max(v.n, 0) T, inflow is
+        # the standard zero-flux "do nothing" (without this, outflow through
+        # an unspecified boundary is unaccounted and T grows unbounded)
+        if vel_mode is not None:
+            all_ext = mesh.exterior_facets()
+            cov = (
+                np.concatenate(covered)
+                if covered
+                else np.zeros(0, dtype=np.int64)
+            )
+            rest = np.setdiff1d(np.asarray(all_ext), cov).astype(np.int32)
+            if len(rest):
+                fctx_rest = geometry.build_facet_context(V, rest, qdeg)
+                self._dg_outflow_term(
+                    form, fctx_rest, capacity, vel_vec,
+                    _facet_vel(fctx_rest), qdeg,
+                )
+
+    def _dg_outflow_term(self, form, fctx, capacity, vel_vec, vel_facet=None,
+                         qdeg=2):
         fphi_tab, _, fw, _ = geometry.facet_basis_tables(
-            self.mesh.tdim, self.function_space.degree, 2
+            self.mesh.tdim, self.function_space.degree, qdeg
         )
         fphi = jnp.asarray(fphi_tab)
         fwj = jnp.asarray(fw)
+        aux = {"vel": vel_facet} if vel_facet is not None else None
 
         def kernel(ue, geom, aux_e):
             phif = fphi[geom.local_id]
-            vq = jnp.broadcast_to(vel_vec, (phif.shape[0], geom.normal.shape[0]))
+            vq = (
+                aux_e["vel"]
+                if (aux_e is not None and "vel" in aux_e)
+                else jnp.broadcast_to(
+                    vel_vec, (phif.shape[0], geom.normal.shape[0])
+                )
+            )
             vn = jnp.einsum("qg,g->q", vq, geom.normal)
             T_q = phif @ ue
             return capacity * jnp.einsum(
                 "q,q,qi->i", fwj * geom.detF, jnp.maximum(vn, 0) * T_q, phif
             )
 
-        form.facet_terms.append(assembly.FacetTerm(kernel=kernel, ctx=fctx))
+        form.facet_terms.append(
+            assembly.FacetTerm(kernel=kernel, ctx=fctx, aux=aux)
+        )
 
     def solve(self):
         """Solve on the DG space, then project to the CG shadow space
