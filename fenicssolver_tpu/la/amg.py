@@ -160,8 +160,13 @@ class AMGPreconditioner:
             S = _strength_graph(A, theta)
             agg, n_agg = _aggregate(S)
             P0, Bc = _tentative_prolongator(agg, n_agg, B)
-            # Jacobi-smoothed prolongator: P = (I - omega D^-1 A) P0
-            Dinv = sp.diags(1.0 / np.maximum(A.diagonal(), 1e-300))
+            # Jacobi-smoothed prolongator: P = (I - omega D^-1 A) P0.
+            # Sign-preserving diagonal guard: clamping negative entries to
+            # +eps turns a mildly indefinite/nonsymmetric level (e.g. the NS
+            # momentum block with advection) into +-inf coarse operators.
+            dA = A.diagonal()
+            dA = np.where(np.abs(dA) < 1e-300, 1e-300, dA)
+            Dinv = sp.diags(1.0 / dA)
             # estimate spectral radius of D^-1 A with a few power iterations
             x = np.sin(np.arange(A.shape[0], dtype=np.float64))
             DA = Dinv @ A
@@ -176,6 +181,11 @@ class AMGPreconditioner:
             P = (sp.eye(A.shape[0]) - (omega / lam) * (Dinv @ A)) @ P0
             P = sp.csr_matrix(P)
             Ac = (P.T @ A @ P).tocsr()
+            if (not np.isfinite(Ac.data).all()) or Ac.diagonal().min() <= 0:
+                # smoothed P degenerated (nonsymmetric/indefinite level):
+                # fall back to plain (unsmoothed) aggregation for this level
+                P = P0
+                Ac = (P.T @ A @ P).tocsr()
             A_dev = None
             if spmv == "bell" and bell_budget_mb > 0:
                 from .block_ell import BlockELL, build_block_ell

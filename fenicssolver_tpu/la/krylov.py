@@ -263,3 +263,123 @@ def gmres(
     x, res, cycles = lax.while_loop(cond, body, (x0, r0, jnp.array(0, jnp.int32)))
     relres = res / jnp.maximum(bnorm, 1e-300)
     return x, cycles * m, relres
+
+
+def fgmres(
+    A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=40, maxiter=30,
+    psum=None,
+):
+    """Flexible GMRES (right preconditioning, per-vector M).
+
+    Unlike :func:`gmres`, the preconditioner may be a *nonlinear* operator —
+    e.g. an inner Krylov solve to a tolerance — because each preconditioned
+    direction z_j = M(v_j) is stored and the solution is reconstructed from
+    the Z basis (Saad '93).  This is the PETSc ``fgmres`` +
+    fieldsplit-with-inner-ksp pattern the NS saddle-point solve uses.
+    Returns (x, true_inner_iters, relres) — the iteration count reflects
+    actual Arnoldi steps taken, not cycles*restart.
+    """
+    op = _as_op(A)
+    M = M or identity_preconditioner
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    m = min(restart, n)
+
+    def dot(a, c):
+        d = jnp.vdot(a, c)
+        return psum(d) if psum else d
+
+    def norm(a):
+        return jnp.sqrt(dot(a, a))
+
+    bnorm = norm(b)
+    target = jnp.maximum(tol * bnorm, atol)
+
+    def arnoldi_cycle(carry):
+        x, _, it_tot = carry
+        r = b - op(x)
+        beta = norm(r)
+        V = jnp.zeros((m + 1, n), dtype=b.dtype)
+        Z = jnp.zeros((m, n), dtype=b.dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        H = jnp.zeros((m + 1, m), dtype=b.dtype)
+        cs = jnp.zeros(m, dtype=b.dtype)
+        sn = jnp.zeros(m, dtype=b.dtype)
+        g = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+
+        def inner_cond(state):
+            j, carry = state
+            _, _, _, _, _, g, _ = carry
+            return (j < m) & (jnp.abs(g[j]) > target)
+
+        def inner_step(state):
+            j, carry = state
+            return j + 1, inner(j, carry)
+
+        def inner(j, carry):
+            V, Z, H, cs, sn, g, nact = carry
+            z = M(V[j])
+            Z = Z.at[j].set(z)
+            w = op(z)
+
+            def mgs(i, wh):
+                w, H = wh
+                hij = jnp.where(i <= j, dot(V[i], w), 0.0)
+                w = w - hij * V[i]
+                H = H.at[i, j].set(hij)
+                return (w, H)
+
+            w, H = lax.fori_loop(0, m + 1, mgs, (w, H))
+            hj1 = norm(w)
+            H = H.at[j + 1, j].set(hj1)
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
+
+            def rot(i, Hc):
+                h_i = Hc[i, j]
+                h_i1 = Hc[i + 1, j]
+                t1 = jnp.where(i < j, cs[i] * h_i + sn[i] * h_i1, h_i)
+                t2 = jnp.where(i < j, -sn[i] * h_i + cs[i] * h_i1, h_i1)
+                return Hc.at[i, j].set(t1).at[i + 1, j].set(t2)
+
+            H = lax.fori_loop(0, m, rot, H)
+            denom = jnp.sqrt(H[j, j] ** 2 + H[j + 1, j] ** 2)
+            c = H[j, j] / jnp.maximum(denom, 1e-300)
+            s = H[j + 1, j] / jnp.maximum(denom, 1e-300)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            H = H.at[j, j].set(denom).at[j + 1, j].set(0.0)
+            g = g.at[j + 1].set(-s * g[j])
+            g = g.at[j].set(c * g[j])
+            return (V, Z, H, cs, sn, g, nact + 1)
+
+        j_end, (V, Z, H, cs, sn, g, nact) = lax.while_loop(
+            inner_cond,
+            inner_step,
+            (jnp.array(0, jnp.int32),
+             (V, Z, H, cs, sn, g, jnp.array(0, jnp.int32))),
+        )
+        Hm = H[:m, :m] + jnp.eye(m, dtype=b.dtype) * 1e-300
+
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            s = g[i] - jnp.dot(Hm[i], y)
+            # only the j_end columns actually taken enter the LS solution
+            return y.at[i].set(jnp.where(i < j_end, s / Hm[i, i], 0.0))
+
+        y = lax.fori_loop(0, m, back, jnp.zeros(m, dtype=b.dtype))
+        x_new = x + jnp.tensordot(y, Z, axes=(0, 0))
+        return x_new, jnp.abs(g[j_end]), it_tot + nact
+
+    def cond(state):
+        x, res, it = state
+        return (res > target) & (it < maxiter * m)
+
+    def body(state):
+        return arnoldi_cycle(state)
+
+    r0 = norm(b - op(x0))
+    x, res, iters = lax.while_loop(
+        cond, body, (x0, r0, jnp.array(0, jnp.int32))
+    )
+    relres = res / jnp.maximum(bnorm, 1e-300)
+    return x, iters, relres

@@ -173,7 +173,15 @@ class FSISolver(CoupledSolver):
         return np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
 
     def detect_interface_mapping(self):
-        """Pair fluid/solid interface vertices geometrically (KD-tree)."""
+        """Geometric interface transfer maps (KD-tree).
+
+        Non-conforming interface grids are supported: every vertex on each
+        side receives an inverse-distance interpolation of the 2 nearest
+        vertices of the other side (exact injection when grids coincide).
+        The old coincident-only pairing silently dropped unmatched solid
+        vertices, leaving them load-free — a mesh 2x finer on the solid
+        side received only HALF the fluid traction (caught by the analytic
+        cantilever check in tests/test_fsi.py)."""
         from scipy.spatial import cKDTree
 
         fv = self._interface_vertices(self.fluid_solver)
@@ -182,27 +190,51 @@ class FSISolver(CoupledSolver):
             raise SolverError("no interface vertices found")
         fx = self.fluid_solver.mesh.coords[fv]
         sx = self.solid_solver.mesh.coords[sv]
-        tree = cKDTree(sx)
-        dist, j = tree.query(fx)
-        scale = max(np.ptp(fx), 1.0)
-        ok = dist < 1e-8 * scale + 1e-12
-        self.fluid_iface_verts = fv[ok]
-        self.solid_iface_verts = sv[j[ok]]
-        if len(self.fluid_iface_verts) == 0:
-            raise SolverError("interface vertex matching failed (meshes disjoint?)")
+        self.fluid_iface_verts = fv
+        self.solid_iface_verts = sv
+
+        def interp_map(src_x, dst_x):
+            tree = cKDTree(src_x)
+            k = min(2, len(src_x))
+            dist, j = tree.query(dst_x, k=k)
+            if k == 1:
+                return j[:, None], np.ones((len(dst_x), 1))
+            snap = dist[:, 0] < 1e-10 * max(np.ptp(src_x), 1.0) + 1e-14
+            w = 1.0 / np.maximum(dist, 1e-30)
+            w = w / w.sum(axis=1, keepdims=True)
+            w[snap] = np.array([1.0, 0.0])
+            return j, w
+
+        self._f2s_idx, self._f2s_w = interp_map(fx, sx)  # solid <- fluid
+        self._s2f_idx, self._s2f_w = interp_map(sx, fx)  # fluid <- solid
 
     # -- data transfer (vectorized gathers, reference :218-245) -----------------
     def map_fluid_to_solid_tensor(self, sigma_vertex):
-        """(nv_fluid, d, d) -> (nv_solid, d, d), negated (reference :244)."""
+        """(nv_fluid, d, d) -> (nv_solid, d, d).
+
+        The traction the fluid exerts on the solid is sigma_f . n_s with
+        n_s the SOLID's outward normal — exactly what the elasticity
+        'stress' tensor BC applies — so sigma transfers UNNEGATED.  The
+        reference negates here (FSISolver.py:244), which pulls the solid
+        INTO a pressurized fluid (checked against the analytic
+        pressure-loaded cantilever, tests/test_fsi.py); its own header
+        declares the FSI module untested, so this is a fixed defect
+        (SURVEY.md §2.6 policy), not a deviation."""
         d = self.fluid_solver.dimension
         out = np.zeros((self.solid_solver.mesh.num_vertices(), d, d))
-        out[self.solid_iface_verts] = -sigma_vertex[self.fluid_iface_verts]
+        src = sigma_vertex[self.fluid_iface_verts]  # (nf_if, d, d)
+        out[self.solid_iface_verts] = np.einsum(
+            "sk,skab->sab", self._f2s_w, src[self._f2s_idx]
+        )
         return out
 
     def map_solid_to_fluid_vector(self, vec_vertex):
         d = self.fluid_solver.dimension
         out = np.zeros((self.fluid_solver.mesh.num_vertices(), d))
-        out[self.fluid_iface_verts] = vec_vertex[self.solid_iface_verts]
+        src = vec_vertex[self.solid_iface_verts]  # (ns_if, d)
+        out[self.fluid_iface_verts] = np.einsum(
+            "fk,fka->fa", self._s2f_w, src[self._s2f_idx]
+        )
         return out
 
     # -- coupling steps -----------------------------------------------------------
