@@ -456,14 +456,26 @@ class LinearElasticitySolver(SolverBase):
         mform.finalize()
         M = assembly.assemble_jacobian(mform, jnp.zeros(V.ndof))
 
-        import scipy.sparse.linalg as spl
-
         K_s = A.to_scipy()
         M_s = M.to_scipy()
         free = np.asarray(dirichlet.free_mask).astype(bool)
-        Kf = K_s[free][:, free].tocsc()
-        Mf = M_s[free][:, free].tocsc()
-        vals, vecs = spl.eigsh(Kf, k=n_modes, M=Mf, sigma=0, which="LM")
+        Kf = K_s[free][:, free].tocsr()
+        Mf = M_s[free][:, free].tocsr()
+        backend = self._solver_params().get("modal_backend", "lobpcg")
+        vals = vecs = None
+        if backend == "lobpcg":
+            try:
+                vals, vecs = self._modal_lobpcg(Kf, Mf, free, n_modes)
+            except Exception as e:
+                self.logger.warning(
+                    "device LOBPCG failed (%s); scipy shift-invert fallback", e
+                )
+        if vals is None:
+            import scipy.sparse.linalg as spl
+
+            vals, vecs = spl.eigsh(
+                Kf.tocsc(), k=n_modes, M=Mf.tocsc(), sigma=0, which="LM"
+            )
         freqs = np.sqrt(np.maximum(vals, 0)) / (2 * np.pi)
         modes = []
         for j in range(n_modes):
@@ -471,3 +483,30 @@ class LinearElasticitySolver(SolverBase):
             full[free] = vecs[:, j]
             modes.append(Function(V, full))
         return freqs, modes
+
+    def _modal_lobpcg(self, Kf, Mf, free, n_modes, tol=1e-6):
+        """Device LOBPCG with an AMG V-cycle preconditioner (the SLEPc
+        replacement running on TPU, VERDICT r1 item 10)."""
+        from ..la.amg import AMGPreconditioner, rigid_body_modes
+        from ..la.lobpcg import lobpcg
+        from ..la.sparse import csr_from_scipy
+
+        V = self.function_space
+        B = rigid_body_modes(V.scalar_space.dof_coords, V.vdim)
+        amg = AMGPreconditioner(Kf, nullspace=B[free])
+        Kd = csr_from_scipy(Kf)
+        Md = csr_from_scipy(Mf)
+        nf = Kf.shape[0]
+        X0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal((nf, n_modes))
+        )
+        vals, X, res, it = lobpcg(
+            Kd.matvec, Md.matvec, X0, T=amg, tol=tol, maxiter=300
+        )
+        if not bool(jnp.all(res < 1e-5)):
+            raise RuntimeError(
+                f"LOBPCG stagnated (max rel res {float(res.max()):.2e} "
+                f"after {it} iterations)"
+            )
+        self.logger.info("LOBPCG modal: %d iterations", it)
+        return np.asarray(vals), np.asarray(X)

@@ -251,3 +251,27 @@ def test_modal_analysis_cantilever():
     # coarse P1 mesh overestimates stiffness: generous band
     assert 0.8 * f1 < freqs[0] < 2.0 * f1, (freqs, f1)
     assert np.isfinite(modes[0].values).all()
+
+
+def test_modal_lobpcg_matches_scipy():
+    """Device LOBPCG+AMG eigensolver agrees with scipy shift-invert
+    (VERDICT r1 item 10: the SLEPc replacement on device)."""
+    L, b, h = 5.0, 0.5, 0.5
+    mesh = BoxMesh(Point(0, 0, 0), Point(L, b, h), 8, 2, 2)
+    V = VectorFunctionSpace(mesh, "CG", 1)
+    left = AutoSubDomain(lambda x: near(x[0], 0.0))
+    bcs = {
+        "fixed": {"boundary": left, "boundary_id": 1, "type": "Dirichlet",
+                  "value": Constant((0, 0, 0))},
+    }
+    s = solver_settings(V, bcs)
+    s["solver_settings"]["solver_parameters"]["modal_backend"] = "lobpcg"
+    solver = LinearElasticitySolver(s)
+    freqs, modes = solver.solve_modal(n_modes=4)
+
+    s2 = solver_settings(V, bcs)
+    s2["solver_settings"]["solver_parameters"]["modal_backend"] = "eigsh"
+    solver2 = LinearElasticitySolver(s2)
+    freqs2, _ = solver2.solve_modal(n_modes=4)
+    assert np.allclose(freqs, freqs2, rtol=1e-5), (freqs, freqs2)
+    assert np.isfinite(modes[0].values).all()
