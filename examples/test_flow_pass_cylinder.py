@@ -17,11 +17,17 @@ from fenicssolver_tpu.solvers.navier_stokes import CoupledNavierStokesSolver
 
 L, H = 2.2, 0.41
 center, radius = (0.2, 0.2), 0.05
-Um = 0.3  # peak inlet velocity; Re = Um*2r/nu ~ 20 (steady regime)
+Um = 0.3  # peak inlet velocity
+# DFG-2D-1 (Schaefer & Turek 1996): nu = 1e-3, rho = 1, ubar = 2/3 Um = 0.2,
+# Re = ubar*D/nu = 20; published C_D = 5.5795, C_L = 0.0106
+NU_DFG = 1.0e-3
+C_D_REF, C_L_REF = 5.5795, 0.0106
 
 
-def make_settings(resolution=20, transient=False):
-    mesh = rectangle_with_hole((0, 0), (L, H), center, radius, resolution)
+def make_settings(resolution=20, transient=False, circle_pts=None, nu=0.0015):
+    mesh = rectangle_with_hole(
+        (0, 0), (L, H), center, radius, resolution, circle_pts=circle_pts
+    )
     inlet = AutoSubDomain(lambda x: near(x[0], 0.0))
     outlet = AutoSubDomain(lambda x: near(x[0], L))
     walls = AutoSubDomain(lambda x: near(x[1], 0.0) | near(x[1], H))
@@ -61,7 +67,7 @@ def make_settings(resolution=20, transient=False):
         "boundary_conditions": bcs,
         "body_source": None,
         "initial_values": {"velocity": (0.0, 0.0), "pressure": 0.0},
-        "material": {"density": 1.0, "kinematic_viscosity": 0.0015},
+        "material": {"density": 1.0, "kinematic_viscosity": nu},
         "solver_settings": {
             "transient_settings": {
                 "transient": transient, "starting_time": 0,
@@ -78,7 +84,22 @@ def make_settings(resolution=20, transient=False):
 
 
 def test():
-    # steady solve first
+    # DFG-2D-1 quantitative benchmark through the sparse-direct (not
+    # dense-LU) path: 50k+ dofs, drag/lift coefficients vs published values
+    s = make_settings(32, transient=False, circle_pts=64, nu=NU_DFG)
+    solver = CoupledNavierStokesSolver(s)
+    assert solver.function_space.ndof > 50000
+    up_dfg = solver.solve()
+    drag, lift = solver.calc_drag_and_lift(up_dfg, 0, 1, [4])
+    ubar = 2.0 / 3.0 * Um
+    scale = 2.0 / (1.0 * ubar * ubar * 2 * radius)
+    c_d, c_l = scale * drag, scale * lift
+    print(f"DFG-2D-1: C_D = {c_d:.4f} (ref {C_D_REF}), "
+          f"C_L = {c_l:.5f} (ref {C_L_REF})")
+    assert abs(c_d - C_D_REF) / C_D_REF < 0.05, c_d
+    assert abs(c_l) < 0.05, c_l  # lift is O(1e-2): order-of-magnitude check
+
+    # steady solve at coarse resolution for the restart idiom below
     s = make_settings(10, transient=False)
     solver = CoupledNavierStokesSolver(s)
     up0 = solver.solve()

@@ -428,7 +428,9 @@ class MeshFunction:
         if isinstance(dim_or_file, str):
             from ..io import meshio as _meshio
 
-            self.dim, self.values = _meshio.read_mesh_function_xml(dim_or_file, np_t)
+            self.dim, self.values = _meshio.read_mesh_function_xml(
+                dim_or_file, np_t, mesh=mesh
+            )
             nent = self._num_entities(self.dim)
             if self.values.shape[0] != nent:
                 raise ValueError(

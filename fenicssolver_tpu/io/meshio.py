@@ -71,8 +71,13 @@ def read_dolfin_xml(filename):
     return coords, cells
 
 
-def read_mesh_function_xml(filename, dtype=np.int64):
-    """Parse dolfin XML MeshFunction -> (entity_dim, values array)."""
+def read_mesh_function_xml(filename, dtype=np.int64, mesh=None):
+    """Parse dolfin XML MeshFunction -> (entity_dim, values array).
+
+    Also reads new-style ``<mesh_value_collection>`` files (entries keyed
+    by (cell_index, local_entity) instead of global entity index), which
+    dolfin emits since 2018; these need the ``mesh`` to resolve local
+    entities to global ones."""
     root = ET.parse(filename).getroot()
     mf = None
     for el in root.iter():
@@ -80,18 +85,55 @@ def read_mesh_function_xml(filename, dtype=np.int64):
             mf = el
             break
     if mf is None:
-        # new-style: <mesh_value_collection>
         for el in root.iter():
             if _strip_ns(el.tag) == "mesh_value_collection":
-                raise NotImplementedError(
-                    "mesh_value_collection XML not supported yet"
-                )
+                return _read_mesh_value_collection(el, dtype, mesh, filename)
         raise ValueError(f"no <mesh_function> in {filename}")
     dim = int(mf.attrib["dim"])
     size = int(mf.attrib["size"])
     values = np.zeros(size, dtype=dtype)
     for e in mf:
         values[int(e.attrib["index"])] = dtype(e.attrib["value"])
+    return dim, values
+
+
+def _read_mesh_value_collection(mvc, dtype, mesh, filename):
+    if mesh is None:
+        raise ValueError(
+            f"{filename} is a mesh_value_collection; a mesh is required to "
+            "resolve (cell, local_entity) keys — construct via "
+            "MeshFunction(type, mesh, filename)"
+        )
+    dim = int(mvc.attrib["dim"])
+    cells = np.array([int(e.attrib["cell_index"]) for e in mvc], dtype=np.int64)
+    local = np.array([int(e.attrib["local_entity"]) for e in mvc], dtype=np.int64)
+    vals = np.array([dtype(e.attrib["value"]) for e in mvc], dtype=dtype)
+    tdim = mesh.tdim
+    if dim == tdim:
+        values = np.zeros(mesh.num_cells(), dtype=dtype)
+        values[cells] = vals
+    elif dim == tdim - 1:
+        # facet entries: local facet i is opposite vertex i (dolfin rule,
+        # matching core/mesh.py's facet tables)
+        info = mesh._compute_facets()
+        fc, fl = info["facet_cells"], info["facet_local"]
+        nlf = tdim + 1
+        nf = fc.shape[0]
+        lut = {}
+        for f in range(nf):
+            lut[fc[f, 0] * nlf + fl[f, 0]] = f
+            if fc[f, 1] >= 0:
+                lut[fc[f, 1] * nlf + fl[f, 1]] = f
+        values = np.zeros(nf, dtype=dtype)
+        for c, l, v in zip(cells, local, vals):
+            values[lut[int(c) * nlf + int(l)]] = v
+    elif dim == 0:
+        values = np.zeros(mesh.num_vertices(), dtype=dtype)
+        values[mesh.cells_array[cells, local]] = vals
+    else:
+        raise NotImplementedError(
+            f"mesh_value_collection of dim {dim} on a {tdim}D mesh"
+        )
     return dim, values
 
 

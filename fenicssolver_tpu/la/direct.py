@@ -21,3 +21,20 @@ def dense_solve(A, b):
     else:
         Ad = jnp.asarray(A)
     return jnp.linalg.solve(Ad, b)
+
+
+def sparse_lu_solve(A, b):
+    """Host sparse LU (SuperLU) — the MUMPS-parity path.
+
+    The reference solves its mixed NS and large-deformation systems with
+    the MUMPS sparse direct solver (``CoupledNavierStokesSolver.py:154``,
+    ``LargeDeformationSolver.py:151``); scipy's SuperLU is the equivalent
+    here for indefinite saddle-point systems beyond the dense limit, where
+    the iterative fieldsplit path's outer iterations still grow with mesh
+    (see docs/ROADMAP.md).  A: CSRMatrix or scipy sparse."""
+    import numpy as np
+    import scipy.sparse.linalg as spl
+
+    As = A.to_scipy() if hasattr(A, "to_scipy") else A
+    lu = spl.splu(As.tocsc())
+    return jnp.asarray(lu.solve(np.asarray(b)))

@@ -74,23 +74,40 @@ def _vmap_term(term):
     return (0, ctx_axes, 0 if term.aux is not None else None)
 
 
-def assemble_residual(form, u):
+def _term_aux(term, aux_update):
+    """Term aux with runtime overrides for matching keys (jitted transient
+    loops swap per-step history arrays like 'wprev' without rebuilding the
+    form; shapes must match the baked aux)."""
+    if aux_update is None or term.aux is None:
+        return term.aux
+    out = dict(term.aux)
+    for k, v in aux_update.items():
+        if k in out:
+            out[k] = v
+    return out
+
+
+def assemble_residual(form, u, aux_update=None):
     """R(u): global residual vector (jit-compatible)."""
     R = jnp.zeros(form.space.ndof, dtype=u.dtype)
     for term in form.cell_terms + form.facet_terms:
         ue = u[term.ctx.cell_dofs]
-        r = jax.vmap(term.kernel, in_axes=_vmap_term(term))(ue, term.ctx, term.aux)
+        r = jax.vmap(term.kernel, in_axes=_vmap_term(term))(
+            ue, term.ctx, _term_aux(term, aux_update)
+        )
         R = R.at[term.ctx.cell_dofs.reshape(-1)].add(r.reshape(-1))
     return R
 
 
-def assemble_jacobian(form, u):
+def assemble_jacobian(form, u, aux_update=None):
     """J(u) as CSRMatrix via per-element forward-mode autodiff."""
     data = jnp.zeros(form.pattern.nnz, dtype=u.dtype)
     for term in form.cell_terms + form.facet_terms:
         ue = u[term.ctx.cell_dofs]
         jac_k = jax.jacfwd(term.kernel, argnums=0)
-        Ae = jax.vmap(jac_k, in_axes=_vmap_term(term))(ue, term.ctx, term.aux)
+        Ae = jax.vmap(jac_k, in_axes=_vmap_term(term))(
+            ue, term.ctx, _term_aux(term, aux_update)
+        )
         data = data.at[term.pos].add(Ae.reshape(-1))
     return CSRMatrix(pattern=form.pattern, data=data)
 

@@ -746,8 +746,10 @@ class CoupledNavierStokesSolver(SolverBase):
             return opc(embed(xu, su))[su]
 
         def momentum_solve(ru):
+            # the cap must scale with mesh (Jacobi-BiCGStab is O(1/h)); an
+            # unconverged inner solve poisons the outer iteration entirely
             x, _, _ = krylov.bicgstab(
-                A_uu, ru, M=lambda v: inv_du * v, tol=1e-2, maxiter=250
+                A_uu, ru, M=lambda v: inv_du * v, tol=1e-2, maxiter=900
             )
             return x
 
@@ -785,13 +787,20 @@ class CoupledNavierStokesSolver(SolverBase):
             return assembly.assemble_jacobian(form, u)
 
         def lin_solve(J, rhs):
+            from ..la.direct import sparse_lu_solve
+
             n = J.pattern.n
             fm = free if free is not None else jnp.ones_like(rhs)
             if n <= DENSE_LIMIT:
                 return dense_solve(assembly.constrain_csr(J, fm), rhs)
+            mode = self._solver_params().get("preconditioner", "splu")
+            if mode == "splu":
+                # sparse direct (MUMPS parity, reference :154) — the robust
+                # default for large indefinite saddle points
+                return sparse_lu_solve(assembly.constrain_csr(J, fm), rhs)
             op = assembly.constrained_operator(J.matvec, fm)
             M = self._block_preconditioner(J, fm)
-            if self._solver_params().get("preconditioner", "fieldsplit") != "diag":
+            if mode != "diag":
                 # inner Krylov solves make M nonlinear -> flexible GMRES
                 x, it, res = krylov.fgmres(
                     op, rhs, M=M, tol=1e-9, restart=40, maxiter=20

@@ -589,7 +589,7 @@ class SolverBase:
                 tol = sp.get("relative_tolerance", 1e-8)
                 x, it = hs.solve(
                     b, free, ubc, tol=tol,
-                    maxiter=sp.get("maximum_iterations", 500) * 10,
+                    maxiter=sp.get("maximum_iterations", 2000),
                 )
                 if sp.get("monitor_convergence"):
                     self.logger.info("halo-sharded CG: %d iters", it)
@@ -606,7 +606,10 @@ class SolverBase:
         diag = free * A.diagonal() + (1.0 - free)
         M = krylov.jacobi_preconditioner(diag)
         tol = sp.get("relative_tolerance", 1e-8)
-        maxiter = sp.get("maximum_iterations", 500) * 10
+        # maximum_iterations maps straight onto the Krylov cap (the
+        # reference feeds it to the dolfin solver parameters,
+        # SolverBase.py:638-641); no silent scaling
+        maxiter = sp.get("maximum_iterations", 2000)
         if spd:
             x, it, res = krylov.cg(op, rhs, x0=x0, M=M, tol=tol, maxiter=maxiter)
         else:

@@ -1,5 +1,14 @@
-"""Saddle-point fieldsplit preconditioner: Newton-GMRES beyond the dense-LU
-limit reproduces exact Poiseuille (PETSc fieldsplit/Schur analog)."""
+"""Saddle-point solves beyond the dense-LU limit.
+
+Two paths (VERDICT r1 item 6):
+- default ``splu``: host sparse LU — the reference's MUMPS parity
+  (``CoupledNavierStokesSolver.py:154``), robust at any size; tested at
+  58k dofs with NO DENSE_LIMIT monkeypatching.
+- ``fieldsplit``: flexible-GMRES with a block upper-triangular Schur
+  preconditioner (pressure-mass Schur + inner Jacobi-BiCGStab momentum
+  solves).  Converges, but outer iterations grow with mesh (65 @ 2.5k
+  dofs -> ~400 @ 9.5k, see docs/ROADMAP.md diagnosis), so the full-scale
+  test rides splu and fieldsplit is exercised above a lowered limit."""
 
 import numpy as np
 import pytest
@@ -10,10 +19,30 @@ from fenicssolver_tpu.solvers.navier_stokes import CoupledNavierStokesSolver
 from .test_navier_stokes import channel_settings, check_poiseuille
 
 
-def test_fieldsplit_gmres_poiseuille(monkeypatch):
+def test_splu_poiseuille_58k_dofs():
+    """Sparse-direct path at 58k dofs (no monkeypatching): exact Poiseuille."""
+    solver = CoupledNavierStokesSolver(channel_settings(nx=80, ny=80))
+    assert solver.function_space.ndof > 50000
+    assert solver.function_space.ndof > direct.DENSE_LIMIT
+    up = solver.solve()
+    check_poiseuille(solver, up, 1e-8, 1e-7)
+
+
+def test_fieldsplit_fgmres_poiseuille(monkeypatch):
     # force the iterative saddle-point path on a small case
     monkeypatch.setattr(direct, "DENSE_LIMIT", 500)
-    solver = CoupledNavierStokesSolver(channel_settings(nx=8, ny=8))
+    s = channel_settings(nx=8, ny=8)
+    s["solver_settings"]["solver_parameters"]["preconditioner"] = "fieldsplit"
+    solver = CoupledNavierStokesSolver(s)
     assert solver.function_space.ndof > 500
     up = solver.solve()
     check_poiseuille(solver, up, 1e-6, 1e-5)
+
+
+def test_splu_path_small(monkeypatch):
+    monkeypatch.setattr(direct, "DENSE_LIMIT", 500)
+    s = channel_settings(nx=8, ny=8)
+    s["solver_settings"]["solver_parameters"]["preconditioner"] = "splu"
+    solver = CoupledNavierStokesSolver(s)
+    up = solver.solve()
+    check_poiseuille(solver, up, 1e-9, 1e-8)
