@@ -74,9 +74,25 @@ def rectangle_with_hole(
 
 
 def elbow_mesh(resolution=24, three_d=False):
-    """The reference's 2D elbow test geometry
-    (``test_cfd_solver.py:67-75``): union of a vertical duct x in [0,1],
-    y in [0,4] and a horizontal duct x in [0,4] (approximated), y in [3,4]."""
+    """The reference's elbow test geometry (``test_cfd_solver.py:58-75``).
+
+    2D: union of a vertical duct x in [0,1], y in [0,4] and a horizontal
+    duct x in [0,4], y in [3,4] (Delaunay).  3D (``using_3D`` in the
+    reference): Box(0,0,0)-(1,2,1) + Box(1,1,0)-(2,2,1) — built by Kuhn-tet
+    filtering of a structured BoxMesh (3D Delaunay of grid points produces
+    slivers); ``resolution`` = cells per unit length."""
+    if three_d:
+        from .mesh import BoxMesh
+
+        n = max(int(resolution), 2)
+        base = BoxMesh((0.0, 0.0, 0.0), (2.0, 2.0, 1.0), 2 * n, 2 * n, n)
+        mids = base.coords[base.cells_array].mean(axis=1)
+        keep = (mids[:, 0] <= 1.0) | (mids[:, 1] >= 1.0)
+        cells = base.cells_array[keep]
+        used = np.unique(cells.ravel())
+        remap = -np.ones(base.coords.shape[0], dtype=np.int64)
+        remap[used] = np.arange(used.size)
+        return Mesh(base.coords[used], remap[cells])
     from scipy.spatial import Delaunay
 
     h = 1.0 / resolution
