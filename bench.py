@@ -61,6 +61,8 @@ def build_problem(n, dtype=np.float32):
         pat.indptr, pat.indices, ndof
     )
     pos = pos_bell[slots]  # element entry -> flat tile slot
+    if pos.max() < 2**31:
+        pos = pos.astype(np.int32)  # halves the scatter-index HBM traffic
     _log(f"sparsity setup {time.perf_counter() - t1:.1f}s (K={K}, nrb={nrb})")
     return dict(
         ndof=ndof,

@@ -191,7 +191,8 @@ def gmres(
     bnorm = norm(M(b))
     target = jnp.maximum(tol * bnorm, atol)
 
-    def arnoldi_cycle(x):
+    def arnoldi_cycle(carry):
+        x, _, it_tot = carry
         r = M(b - op(x))
         beta = norm(r)
         V = jnp.zeros((m + 1, n), dtype=b.dtype)
@@ -201,6 +202,15 @@ def gmres(
         cs = jnp.zeros(m, dtype=b.dtype)
         sn = jnp.zeros(m, dtype=b.dtype)
         g = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+
+        def inner_cond(state):
+            j, carry = state
+            _, _, _, _, g = carry
+            return (j < m) & (jnp.abs(g[j]) > target)
+
+        def inner_step(state):
+            j, carry = state
+            return j + 1, inner(j, carry)
 
         def inner(j, carry):
             V, H, cs, sn, g = carry
@@ -237,32 +247,38 @@ def gmres(
             g = g.at[j].set(c * g[j])
             return (V, H, cs, sn, g)
 
-        V, H, cs, sn, g = lax.fori_loop(0, m, inner, (V, H, cs, sn, g))
-        # back substitution H[:m,:m] y = g[:m]
+        j_end, (V, H, cs, sn, g) = lax.while_loop(
+            inner_cond,
+            inner_step,
+            (jnp.array(0, jnp.int32), (V, H, cs, sn, g)),
+        )
+        # back substitution H[:m,:m] y = g[:m], restricted to taken steps
         Hm = H[:m, :m] + jnp.eye(m, dtype=b.dtype) * 1e-300
 
         def back(i_rev, y):
             i = m - 1 - i_rev
             s = g[i] - jnp.dot(Hm[i], y)
-            return y.at[i].set(s / Hm[i, i])
+            return y.at[i].set(jnp.where(i < j_end, s / Hm[i, i], 0.0))
 
         y = lax.fori_loop(0, m, back, jnp.zeros(m, dtype=b.dtype))
         x_new = x + jnp.tensordot(y, V[:m], axes=(0, 0))
-        return x_new, jnp.abs(g[m])
+        return x_new, jnp.abs(g[j_end]), it_tot + j_end
 
     def cond(state):
         x, res, it = state
-        return (res > target) & (it < maxiter)
+        return (res > target) & (it < maxiter * m)
 
     def body(state):
-        x, res, it = state
-        x, res = arnoldi_cycle(x)
-        return (x, res, it + 1)
+        return arnoldi_cycle(state)
 
     r0 = norm(M(b - op(x0)))
-    x, res, cycles = lax.while_loop(cond, body, (x0, r0, jnp.array(0, jnp.int32)))
+    x, res, iters = lax.while_loop(
+        cond, body, (x0, r0, jnp.array(0, jnp.int32))
+    )
     relres = res / jnp.maximum(bnorm, 1e-300)
-    return x, cycles * m, relres
+    # iters counts Arnoldi steps actually taken (VERDICT r1 weak-8: the old
+    # cycles*m figure overstated work in monitor logs)
+    return x, iters, relres
 
 
 def fgmres(
