@@ -171,6 +171,9 @@ class CoupledNavierStokesSolver(SolverBase):
 
         transient = bool(self.transient_settings["transient"])
         dt = self.get_time_step(time_iter_) if transient else 1.0
+        # PCD Schur preconditioner needs the mass-scaling of the momentum
+        # block (F_p = M_p/dt + N_p(u) + nu A_p); 0 for steady runs
+        self._pcd_dt_inv = (1.0 / dt) if transient else 0.0
         newton = bool(self.using_nonlinear_solver)
 
         # body force only when configured (reference guard ``:318``; its
@@ -341,6 +344,11 @@ class CoupledNavierStokesSolver(SolverBase):
                                    nu_nonlinear, rho):
         W = self.function_space
         dirichlet = assembly.DirichletData(W.ndof)
+        # facets whose boundary terms perturb the momentum block away from
+        # the SPD viscous operator (open-boundary viscous terms, symmetry
+        # penalties) — the block preconditioner applies an exact local
+        # correction on the dofs they touch (see _momentum_bcorr)
+        self._mom_facet_ids = []
         for key, boundary in self.boundary_conditions.items():
             bid = boundary["boundary_id"]
             fids = self.boundary_facet_ids(bid)
@@ -595,6 +603,7 @@ class CoupledNavierStokesSolver(SolverBase):
         boundaries; the pressure term uses the prescribed value)."""
         if len(fids) == 0:
             return
+        self._mom_facet_ids.append(np.asarray(fids))
         W = self.function_space
         Vv = W.subspaces[0]
         d = Vv.vdim
@@ -655,6 +664,7 @@ class CoupledNavierStokesSolver(SolverBase):
         (reference ``:438-441``)."""
         if len(fids) == 0:
             return
+        self._mom_facet_ids.append(np.asarray(fids))
         W = self.function_space
         Vv = W.subspaces[0]
         d = Vv.vdim
@@ -701,23 +711,254 @@ class CoupledNavierStokesSolver(SolverBase):
         m = jnp.zeros(Q.ndof).at[ctx.cell_dofs.reshape(-1)].add(me.reshape(-1))
         return m
 
+    def _pcd_setup(self):
+        """Pressure-space operators for the PCD Schur approximation, cached
+        per mesh geometry: the Laplacian A_p, consistent mass M_p (as element
+        data on a shared CSR pattern), the lumped mass, and an AMG hierarchy
+        on the constrained A_p.  Only the convection part N_p(u) changes
+        between Newton iterations and is reassembled in :meth:`_pcd_schur`.
+        Invalidated when the mesh moves (ALE/FSI)."""
+        mesh = self.mesh
+        key = (mesh.num_cells(), float(np.sum(mesh.coords)))
+        cache = getattr(self, "_pcd_cache", None)
+        if cache is not None and cache["key"] == key:
+            return cache
+        from ..la.sparse import build_pattern
+
+        W = self.function_space
+        Q = W.subspaces[1]
+        Vv = W.subspaces[0]
+        qdeg = Q.degree + self.vel_degree  # exact for the convection term
+        tab_p = geometry.basis_tables(mesh.tdim, Q.degree, qdeg)
+        tab_v = geometry.basis_tables(mesh.tdim, self.vel_degree, qdeg)
+        ctx = geometry.build_cell_context(Q, qdeg)
+        phi_p = jnp.asarray(tab_p.phi)
+        dphig = jnp.einsum("qkt,ctg->cqkg", jnp.asarray(tab_p.dphi), ctx.Jinv)
+        wdet = jnp.asarray(tab_p.qw)[None, :] * ctx.detJ[:, None]
+        Ap_e = jnp.einsum("cq,cqag,cqbg->cab", wdet, dphig, dphig)
+        Mp_e = jnp.einsum("cq,qa,qb->cab", wdet, phi_p, phi_p)
+        pattern, (pos,) = build_pattern([np.asarray(Q.cell_dofs)], Q.ndof)
+
+        def scatter(Ae):
+            return jnp.zeros(pattern.nnz).at[pos].add(Ae.reshape(-1))
+
+        mp_lumped = (
+            jnp.zeros(Q.ndof)
+            .at[ctx.cell_dofs.reshape(-1)]
+            .add(jnp.einsum("cq,qa->ca", wdet, phi_p).reshape(-1))
+        )
+        cache = dict(
+            key=key,
+            pattern=pattern,
+            pos=pos,
+            phi_p=phi_p,
+            phi_v=jnp.asarray(tab_v.phi),
+            dphig=dphig,
+            wdet=wdet,
+            vel_cell_dofs=jnp.asarray(np.asarray(Vv.scalar_space.cell_dofs)),
+            Ap_data=scatter(Ap_e),
+            Mp_data=scatter(Mp_e),
+            mp_lumped=mp_lumped,
+            amg=None,
+            amg_pin=None,
+        )
+        self._pcd_cache = cache
+        return cache
+
+    def _pcd_schur(self, free):
+        """Pressure convection-diffusion Schur approximation (Kay-Loghin-
+        Wathen / Elman-Silvester-Wathen ch. 9): with the momentum and
+        continuity rows both divided by rho, S = (1/rho^2) D F^{-1} G and
+
+            S^{-1} ~ rho^2  M_p^{-1} F_p A_p^{-1},
+            F_p = M_p/dt + N_p(u_k) + nu A_p
+
+        built on the pressure space with the current Newton velocity.  At
+        the Stokes/steady limit F_p = nu A_p and this reduces exactly to the
+        viscosity-scaled pressure-mass Schur (the previous ``fieldsplit``),
+        but the N_p(u) commutator term keeps the outer iteration count
+        mesh-independent in advective regimes where the mass-only Schur
+        degrades (~65 @ 2.5k dofs -> ~400 @ 9.5k, docs/ROADMAP.md item 8).
+        Boundary treatment: Dirichlet rows of A_p/F_p at the dofs where the
+        system itself prescribes pressure (outflow); one pinned dof for
+        enclosed flow.  A_p^{-1} is an AMG-PCG inner solve; the hierarchy is
+        cached across Newton iterations (A_p is geometry-only)."""
+        c = self._pcd_setup()
+        from ..la.amg import AMGPreconditioner
+        from ..la.sparse import CSRMatrix
+
+        W = self.function_space
+        rho = float(self.material["density"])
+        nu0 = float(self.material["kinematic_viscosity"])
+        sp_ = W.slice_of(1)
+        pfree = free[sp_]
+        pin = pfree
+        if float(jnp.min(pfree)) > 0.5:  # enclosed flow: pin one dof
+            pin = pfree.at[0].set(0.0)
+
+        u = getattr(self, "_newton_u", None)
+        d = self.mesh.gdim
+        if u is None:
+            Np_data = jnp.zeros_like(c["Ap_data"])
+        else:
+            uvals = jnp.asarray(u)[W.slice_of(0)].reshape(-1, d)
+            Ue = uvals[c["vel_cell_dofs"]]
+            u_q = jnp.einsum("qk,ckv->cqv", c["phi_v"], Ue)
+            Np_e = jnp.einsum(
+                "cq,qa,cqg,cqbg->cab", c["wdet"], c["phi_p"], u_q, c["dphig"]
+            )
+            Np_data = (
+                jnp.zeros(c["pattern"].nnz).at[c["pos"]].add(Np_e.reshape(-1))
+            )
+        dt_inv = float(getattr(self, "_pcd_dt_inv", 0.0))
+        Ap = CSRMatrix(pattern=c["pattern"], data=c["Ap_data"])
+        Fp = CSRMatrix(
+            pattern=c["pattern"],
+            data=nu0 * c["Ap_data"] + Np_data + dt_inv * c["Mp_data"],
+        )
+        Ap_c = assembly.constrain_csr(Ap, pin)
+        Fp_c = assembly.constrain_csr(Fp, pin)
+        if c["amg"] is None or not np.array_equal(
+            np.asarray(c["amg_pin"]), np.asarray(pin)
+        ):
+            c["amg"] = AMGPreconditioner(
+                Ap_c.to_scipy(), free_mask=np.asarray(pin) > 0.5
+            )
+            c["amg_pin"] = pin
+        amg = c["amg"]
+        inv_mp = (rho * rho) / jnp.maximum(c["mp_lumped"], 1e-300)
+
+        def S_inv(rp):
+            # A_p^{-1} ~ 2 V-cycles (a preconditioner needs a spectrally
+            # equivalent approximation, not a converged solve)
+            y = amg(pin * rp)
+            y = y + amg(pin * rp - Ap_c.matvec(y))
+            z = inv_mp * (Fp_c @ y)
+            return pfree * z + (1.0 - pfree) * rp
+
+        return S_inv
+
+    def _momentum_amg(self, free, su):
+        """AMG on the SPD *viscous approximation* of the momentum block.
+
+        The true velocity-velocity block of the mixed Jacobian is mildly
+        INDEFINITE (the consistent open-boundary term
+        ``-nu (sym grad u . n) . v ds`` breaks coercivity — measured min
+        eigenvalue -0.045 on the Re=6 channel), so multigrid built on it
+        diverges.  Instead the hierarchy is built on the coercive operator
+
+            A_hat = 2 nu int eps(u):eps(v) dx + (1/dt) int u.v dx
+
+        with the same Dirichlet mask — the ``fieldsplit_0 pc_type gamg``
+        analog preconditioning with the symmetric part.  The boundary and
+        convection terms are left to the (outer-flexible) Krylov iteration.
+        A_hat is geometry-only, so the hierarchy is CACHED across Newton
+        iterations and transient steps (keyed on mesh + dt + mask)."""
+        from ..la.amg import AMGPreconditioner, rigid_body_modes
+        from ..la.sparse import CSRMatrix, build_pattern
+
+        mesh = self.mesh
+        dt_inv = float(getattr(self, "_pcd_dt_inv", 0.0))
+        fm = np.asarray(free)[su] > 0.5
+        key = (
+            mesh.num_cells(),
+            float(np.sum(mesh.coords)),
+            dt_inv,
+            int(fm.sum()),
+        )
+        cache = getattr(self, "_mom_amg_cache", None)
+        if cache is not None and cache["key"] == key:
+            return cache["amg"]
+        Vv = self.function_space.subspaces[0]
+        d = Vv.vdim
+        nu0 = float(self.material["kinematic_viscosity"])
+        qdeg = 2 * self.vel_degree
+        tab = geometry.basis_tables(mesh.tdim, self.vel_degree, qdeg)
+        ctx = geometry.build_cell_context(Vv, qdeg)
+        phi = jnp.asarray(tab.phi)
+        dphig = jnp.einsum("qkt,ctg->cqkg", jnp.asarray(tab.dphi), ctx.Jinv)
+        wdet = jnp.asarray(tab.qw)[None, :] * ctx.detJ[:, None]
+        # 2 nu eps(phi_a e_i):eps(phi_b e_j)
+        #   = nu (delta_ij grad phi_a . grad phi_b + d_j phi_a d_i phi_b)
+        gg = jnp.einsum("cq,cqag,cqbg->cab", wdet, dphig, dphig)
+        cross = jnp.einsum("cq,cqaj,cqbi->caibj", wdet, dphig, dphig)
+        mm = jnp.einsum("cq,qa,qb->cab", wdet, phi, phi)
+        k = phi.shape[1]
+        I = jnp.eye(d)
+        Ke = nu0 * (
+            jnp.einsum("cab,ij->caibj", gg, I) + cross
+        ) + dt_inv * jnp.einsum("cab,ij->caibj", mm, I)
+        Ke = Ke.reshape(-1, k * d, k * d)
+        pattern, (pos,) = build_pattern(
+            [np.asarray(Vv.cell_dofs)], Vv.ndof
+        )
+        A_hat = CSRMatrix(
+            pattern=pattern,
+            data=jnp.zeros(pattern.nnz).at[pos].add(Ke.reshape(-1)),
+        )
+        A_hat = assembly.constrain_csr(A_hat, jnp.asarray(fm.astype(float)))
+        B = rigid_body_modes(np.asarray(Vv.scalar_space.dof_coords), d)
+        try:
+            amg = AMGPreconditioner(
+                A_hat.to_scipy(), nullspace=B, free_mask=fm
+            )
+        except Exception:  # pragma: no cover - degenerate aggregation
+            amg = None
+        self._mom_amg_cache = dict(key=key, amg=amg)
+        return amg
+
+    def _momentum_bcorr(self, J, free, su, max_block=4000):
+        """Exact correction block for the momentum dofs touched by boundary
+        facet terms (open-boundary viscous terms / symmetry penalties).
+
+        Those terms make the true momentum block INDEFINITE, so they cannot
+        live in the multigrid hierarchy; left untreated they cost
+        mesh-growing outer iterations (measured 51 -> 72 -> 127 across a
+        4x refinement even with an exact SPD-viscous solve).  An exact
+        solve on the touched dofs (m ~ O(boundary), dense, from the TRUE
+        Jacobian so convection is included) restores near-independence
+        (78 / 65 outer with 1 / 2 V-cycles on the same sweep).  Returns
+        (bdofs_local, A_bb_inv) or None."""
+        fid_list = getattr(self, "_mom_facet_ids", [])
+        if not fid_list:
+            return None
+        W = self.function_space
+        Vv = W.subspaces[0]
+        d = Vv.vdim
+        fids = np.unique(np.concatenate(fid_list))
+        info = self.mesh._compute_facets()
+        bcells = np.unique(info["facet_cells"][fids, 0])
+        sdofs = np.unique(np.asarray(Vv.scalar_space.cell_dofs)[bcells])
+        bdofs = (sdofs[:, None] * d + np.arange(d)[None, :]).reshape(-1)
+        fm_u = np.asarray(free)[su]
+        bdofs = bdofs[fm_u[bdofs] > 0.5]
+        if bdofs.size == 0 or bdofs.size > max_block:
+            return None
+        start = su.start or 0
+        g = start + bdofs
+        A_bb = (
+            assembly.constrain_csr(J, free).to_scipy()[g][:, g].toarray()
+        )
+        try:
+            A_bb_inv = np.linalg.inv(A_bb)
+        except np.linalg.LinAlgError:  # pragma: no cover
+            A_bb_inv = np.linalg.pinv(A_bb)
+        return jnp.asarray(bdofs), jnp.asarray(A_bb_inv)
+
     def _block_preconditioner(self, J, free):
         """Saddle-point preconditioner for the mixed Jacobian.
 
-        Default ``fieldsplit``: block upper-triangular Schur preconditioner
-        (Elman-Silvester-Wathen): the Schur complement is approximated by
-        the viscosity-scaled lumped pressure mass (with the momentum form
-        divided by rho, S ~ M_p / (rho^2 nu)), and the momentum block is
-        solved with an inner Jacobi-BiCGStab to a loose tolerance — the
-        inner solve makes M nonlinear, so the outer Krylov must be the
-        FLEXIBLE GMRES (``krylov.fgmres``).  Measured on the Poiseuille
-        channel: ~65 mesh-independent outer iterations to 1e-9 where the
-        diagonal variant stalls.  (A convection-aware PCD Schur is the
-        upgrade path for strongly advective regimes.)
+        Default ``pcd``: block upper-triangular Schur preconditioner with
+        the pressure convection-diffusion Schur approximation
+        (:meth:`_pcd_schur`) and inner AMG-BiCGStab momentum solves —
+        the inner solves make M nonlinear, so the outer Krylov must be the
+        FLEXIBLE GMRES (``krylov.fgmres``).
 
-        ``diag`` selects the old Jacobi + scaled-pressure-mass diagonal
-        (a fixed linear operator, usable with plain GMRES)."""
-        mode = self._solver_params().get("preconditioner", "fieldsplit")
+        ``fieldsplit`` selects the viscosity-scaled lumped-pressure-mass
+        Schur (mesh-independent for Stokes-dominated flow only); ``diag``
+        the old Jacobi + scaled-pressure-mass diagonal (a fixed linear
+        operator, usable with plain GMRES)."""
+        mode = self._solver_params().get("preconditioner", "pcd")
         W = self.function_space
         rho = float(self.material["density"])
         nu0 = float(self.material["kinematic_viscosity"])
@@ -732,6 +973,13 @@ class CoupledNavierStokesSolver(SolverBase):
             inv = inv.at[sp_].set(pfree * inv_p_mass + (1.0 - pfree))
             return lambda x: inv * x
 
+        if mode == "pcd":
+            S_inv = self._pcd_schur(free)
+        else:  # "fieldsplit": lumped pressure-mass Schur
+
+            def S_inv(rp):
+                return pfree * (inv_p_mass * rp) + (1.0 - pfree) * rp
+
         n = J.pattern.n
 
         def opc(x):
@@ -740,22 +988,43 @@ class CoupledNavierStokesSolver(SolverBase):
         def embed(xs, sl):
             return jnp.zeros(n, dtype=xs.dtype).at[sl].set(xs)
 
-        inv_du = inv[su]
-
         def A_uu(xu):
             return opc(embed(xu, su))[su]
 
-        def momentum_solve(ru):
-            # the cap must scale with mesh (Jacobi-BiCGStab is O(1/h)); an
-            # unconverged inner solve poisons the outer iteration entirely
-            x, _, _ = krylov.bicgstab(
-                A_uu, ru, M=lambda v: inv_du * v, tol=1e-2, maxiter=900
-            )
-            return x
+        M_uu = self._momentum_amg(free, su)
+        inv_du = inv[su]
+
+        if M_uu is None:  # AMG setup degenerated: inner Jacobi-BiCGStab
+            def momentum_solve(ru):
+                x, _, _ = krylov.bicgstab(
+                    A_uu, ru, M=lambda v: inv_du * v, tol=1e-2, maxiter=200
+                )
+                return x
+        else:
+            bcorr = self._momentum_bcorr(J, free, su)
+
+            def momentum_solve(ru):
+                # viscous-AMG V-cycle, exact boundary-block correction,
+                # V-cycle (multiplicative).  The V-cycles carry the SPD
+                # bulk mesh-independently; the dense local solve carries
+                # the indefinite boundary terms the hierarchy cannot (an
+                # inner Krylov solve on the true block would burn ~50
+                # iterations per application fighting those modes).  The
+                # old Jacobi-BiCGStab inner solve was O(1/h) and silently
+                # hit its cap at fine meshes, poisoning the outer
+                # iteration — that, not the Schur approximation, caused
+                # the 65 -> ~400 outer growth at Re=6 recorded in
+                # docs/ROADMAP.md item 8.
+                x = M_uu(ru)
+                if bcorr is not None:
+                    bdofs, A_bb_inv = bcorr
+                    r2 = ru - A_uu(x)
+                    x = x.at[bdofs].add(A_bb_inv @ r2[bdofs])
+                return x + M_uu(ru - A_uu(x))
 
         def M(r):
             ru, rp = r[su], r[sp_]
-            zp = pfree * (inv_p_mass * rp) + (1.0 - pfree) * rp
+            zp = S_inv(rp)
             zu = momentum_solve(ru - opc(embed(zp, sp_))[su])
             z = inv * r  # Jacobi elsewhere (covers the temperature block)
             z = z.at[su].set(zu)
@@ -784,6 +1053,9 @@ class CoupledNavierStokesSolver(SolverBase):
             return R
 
         def jacobian(u):
+            # the PCD Schur approximation needs the iterate's velocity for
+            # its pressure-space convection operator N_p(u_k)
+            self._newton_u = u
             return assembly.assemble_jacobian(form, u)
 
         def lin_solve(J, rhs):
@@ -801,14 +1073,17 @@ class CoupledNavierStokesSolver(SolverBase):
             op = assembly.constrained_operator(J.matvec, fm)
             M = self._block_preconditioner(J, fm)
             if mode != "diag":
-                # inner Krylov solves make M nonlinear -> flexible GMRES
+                # nonlinear M (V-cycles + local solves) -> flexible GMRES.
+                # restart must exceed the expected outer count (~65 at 10k
+                # dofs): a restart discards superlinear progress
                 x, it, res = krylov.fgmres(
-                    op, rhs, M=M, tol=1e-9, restart=40, maxiter=20
+                    op, rhs, M=M, tol=1e-9, restart=120, maxiter=8
                 )
             else:
                 x, it, res = krylov.gmres(
                     op, rhs, M=M, tol=1e-9, restart=120, maxiter=60
                 )
+            self._last_outer_iters = int(it)  # exposed for scaling tests
             if sp.get("monitor_convergence"):
                 self.logger.info(
                     "fieldsplit-GMRES: %d iters, rel res %.2e", int(it), float(res)

@@ -1,14 +1,20 @@
 """Saddle-point solves beyond the dense-LU limit.
 
-Two paths (VERDICT r1 item 6):
+Three paths (VERDICT r1 item 6):
 - default ``splu``: host sparse LU — the reference's MUMPS parity
   (``CoupledNavierStokesSolver.py:154``), robust at any size; tested at
   58k dofs with NO DENSE_LIMIT monkeypatching.
-- ``fieldsplit``: flexible-GMRES with a block upper-triangular Schur
-  preconditioner (pressure-mass Schur + inner Jacobi-BiCGStab momentum
-  solves).  Converges, but outer iterations grow with mesh (65 @ 2.5k
-  dofs -> ~400 @ 9.5k, see docs/ROADMAP.md diagnosis), so the full-scale
-  test rides splu and fieldsplit is exercised above a lowered limit."""
+- ``fieldsplit``: flexible-GMRES, block upper-triangular with the
+  viscosity-scaled lumped-pressure-mass Schur; momentum block solved by
+  viscous-AMG V-cycles + an exact dense correction on the dofs touched by
+  the indefinite open-boundary terms (see
+  ``CoupledNavierStokesSolver._momentum_bcorr``).
+- ``pcd``: same block structure with the pressure convection-diffusion
+  Schur (Kay-Loghin-Wathen) for advective regimes.
+
+Outer iterations are mildly mesh-dependent (measured 48 @ 2.5k dofs ->
+68 @ 9.5k for fieldsplit; the round-1 state was 65 -> ~400), asserted by
+``test_fieldsplit_outer_iterations_scale``."""
 
 import numpy as np
 import pytest
@@ -37,6 +43,32 @@ def test_fieldsplit_fgmres_poiseuille(monkeypatch):
     assert solver.function_space.ndof > 500
     up = solver.solve()
     check_poiseuille(solver, up, 1e-6, 1e-5)
+
+
+def test_pcd_poiseuille(monkeypatch):
+    monkeypatch.setattr(direct, "DENSE_LIMIT", 500)
+    s = channel_settings(nx=8, ny=8)
+    s["solver_settings"]["solver_parameters"]["preconditioner"] = "pcd"
+    solver = CoupledNavierStokesSolver(s)
+    up = solver.solve()
+    check_poiseuille(solver, up, 1e-6, 1e-5)
+
+
+def test_fieldsplit_outer_iterations_scale(monkeypatch):
+    """2x mesh refinement must cost < 2x outer iterations (the round-1
+    momentum inner solve was O(1/h) and blew 65 -> ~400 over 4x)."""
+    monkeypatch.setattr(direct, "DENSE_LIMIT", 500)
+    outers = {}
+    for nx in (8, 16):
+        s = channel_settings(nx=nx, ny=nx)
+        s["solver_settings"]["solver_parameters"]["preconditioner"] = (
+            "fieldsplit"
+        )
+        solver = CoupledNavierStokesSolver(s)
+        up = solver.solve()
+        check_poiseuille(solver, up, 1e-6, 1e-5)
+        outers[nx] = solver._last_outer_iters
+    assert outers[16] < 2 * outers[8], outers
 
 
 def test_splu_path_small(monkeypatch):
