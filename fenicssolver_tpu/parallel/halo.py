@@ -69,6 +69,38 @@ def quantile_grid_partition(coords, grid):
     return owner
 
 
+def _build_exchange_rounds(owner, ghosts, g2l, gc, nd, L):
+    """Offset-grouped ppermute rounds refreshing ghost slots from owners.
+
+    Returns (perms, sends, recvs): per round, the (src, dst) pairs plus the
+    per-rank padded local send/recv index buffers (padding points at the
+    sacrificial dummy slot L, never read)."""
+    rounds = {}
+    for r in range(nd):
+        for g_dof_owner in np.unique(owner[ghosts[r]]):
+            off = tuple(gc[r] - gc[g_dof_owner])
+            rounds.setdefault(off, []).append((int(g_dof_owner), r))
+    perms, send_list, recv_list = [], [], []
+    for off, pairs in sorted(rounds.items()):
+        nbuf = 0
+        per_rank_send = [np.zeros(0, np.int64)] * nd
+        per_rank_recv = [np.zeros(0, np.int64)] * nd
+        for s, r in pairs:
+            shared = ghosts[r][owner[ghosts[r]] == s]  # sorted global ids
+            per_rank_send[s] = g2l[s, shared]  # owner's local ids
+            per_rank_recv[r] = g2l[r, shared]  # receiver's ghost slots
+            nbuf = max(nbuf, len(shared))
+        send = np.full((nd, nbuf), L, dtype=np.int32)  # dummy slot
+        recv = np.full((nd, nbuf), L, dtype=np.int32)
+        for rank in range(nd):
+            send[rank, : len(per_rank_send[rank])] = per_rank_send[rank]
+            recv[rank, : len(per_rank_recv[rank])] = per_rank_recv[rank]
+        perms.append(tuple((s, r) for s, r in pairs))
+        send_list.append(send)
+        recv_list.append(recv)
+    return perms, send_list, recv_list
+
+
 class HaloShardedSolver:
     """Distributed CG for an assembled SPD system with Dirichlet masking."""
 
@@ -152,30 +184,9 @@ class HaloShardedSolver:
         self.K, self.nrb = K_max, nrb
 
         # exchange rounds: group (owner -> ghost-holder) pairs by grid offset
-        rounds = {}
-        for r in range(nd):
-            for g_dof_owner in np.unique(owner[ghosts[r]]):
-                off = tuple(gc[r] - gc[g_dof_owner])
-                rounds.setdefault(off, []).append((int(g_dof_owner), r))
-        self.perms = []
-        send_list, recv_list = [], []
-        for off, pairs in sorted(rounds.items()):
-            nbuf = 0
-            per_rank_send = [np.zeros(0, np.int64)] * nd
-            per_rank_recv = [np.zeros(0, np.int64)] * nd
-            for s, r in pairs:
-                shared = ghosts[r][owner[ghosts[r]] == s]  # sorted global ids
-                per_rank_send[s] = g2l[s, shared]  # owner's local ids
-                per_rank_recv[r] = g2l[r, shared]  # receiver's ghost slots
-                nbuf = max(nbuf, len(shared))
-            send = np.full((nd, nbuf), L, dtype=np.int32)  # dummy slot
-            recv = np.full((nd, nbuf), L, dtype=np.int32)
-            for rank in range(nd):
-                send[rank, : len(per_rank_send[rank])] = per_rank_send[rank]
-                recv[rank, : len(per_rank_recv[rank])] = per_rank_recv[rank]
-            self.perms.append(tuple((s, r) for s, r in pairs))
-            send_list.append(send)
-            recv_list.append(recv)
+        self.perms, send_list, recv_list = _build_exchange_rounds(
+            owner, ghosts, g2l, gc, nd, L
+        )
 
         self._owned = owned
         self._ghosts = ghosts
@@ -351,6 +362,388 @@ class HaloShardedSolver:
             ubc_loc,
         )
         return self.gather_global(x), int(np.asarray(iters).ravel()[0])
+
+
+class HaloElementSolver:
+    """Element-level sharded ASSEMBLY + halo-exchange CG.
+
+    Completes the distributed story past :class:`HaloShardedSolver` (which
+    consumes a HOST-assembled global matrix): here each device receives
+    every element (cell or boundary-facet batch entry) that touches one of
+    its owned dofs — ghost-cell replication, so interface elements are
+    re-evaluated by every neighbouring rank and assembly needs NO
+    communication — evaluates element matrices/vectors ON DEVICE with the
+    given kernels, scatter-adds the rows it owns into its local block-ELL
+    tiles, and runs the masked-Dirichlet PCG with offset-grouped
+    ``ppermute`` ghost refresh and psum dot products.  Assembly + solve is
+    ONE device dispatch; per-device memory and compute are ~1/n_dev.
+
+    ``batches``: list of ``(dofmap, Ae_fn, be_fn, elem_data)`` where
+    ``dofmap`` is (ne, k) global dof ids, ``Ae_fn(data_slice) -> (k, k)``
+    and ``be_fn(data_slice) -> (k,)`` are per-element kernels (vmapped on
+    device), and ``elem_data`` is a pytree with leading axis ne.  Padded
+    elements get zero-filled data — kernels must map zero geometry to zero
+    contributions (true for detJ/detF-weighted FEM kernels).
+
+    Replaces the reference's MPI rank-local dolfin assembly + PETSc MatMult
+    halo (SURVEY.md §2.3, §5.7-5.8; ``SolverBase.py:102-118``)."""
+
+    def __init__(self, batches, dof_coords, ndof, devices=None, grid=None):
+        devices = devices if devices is not None else jax.devices()
+        nd = len(devices)
+        self.n_dev = nd
+        self.device_mesh = DeviceMesh(np.array(devices), (AXIS,))
+        self.ndof = ndof
+        coords = np.asarray(dof_coords, dtype=np.float64)
+        gdim = coords.shape[1]
+        grid = grid or _factor_grid(nd, gdim)
+        assert int(np.prod(grid)) == nd, (grid, nd)
+        owner = quantile_grid_partition(coords, grid)
+        gc = np.stack(np.unravel_index(np.arange(nd), grid), axis=1)
+
+        owned = [np.nonzero(owner == r)[0] for r in range(nd)]
+        n_own_max = max(len(o) for o in owned)
+
+        # per-rank element sets: every element touching an owned dof
+        dofmaps = [np.asarray(b[0], dtype=np.int64) for b in batches]
+        sel = []  # sel[bi][r] = element ids of batch bi on rank r
+        for dm in dofmaps:
+            eo = owner[dm]  # (ne, k) owner of each element dof
+            sel.append(
+                [np.nonzero((eo == r).any(axis=1))[0] for r in range(nd)]
+            )
+        # ghosts: dofs referenced by local elements but not owned
+        ghosts = []
+        for r in range(nd):
+            ref = np.unique(
+                np.concatenate(
+                    [dm[s[r]].ravel() for dm, s in zip(dofmaps, sel)]
+                    + [owned[r]]
+                )
+            )
+            ghosts.append(np.setdiff1d(ref, owned[r], assume_unique=False))
+        n_ghost_max = max(len(g) for g in ghosts)
+        L = n_own_max + n_ghost_max
+        self.Lp = L + 1
+        self.n_own_max = n_own_max
+
+        g2l = np.full((nd, ndof), L, dtype=np.int64)
+        for r in range(nd):
+            g2l[r, owned[r]] = np.arange(len(owned[r]))
+            g2l[r, ghosts[r]] = n_own_max + np.arange(len(ghosts[r]))
+
+        # local sparsity (owned rows x local cols) and uniform block-ELL
+        K_max, nrb = 0, (n_own_max + BR - 1) // BR
+        per_rank = []
+        for r in range(nd):
+            keys = []
+            for dm, s in zip(dofmaps, sel):
+                e = dm[s[r]]  # (ner, k)
+                k = e.shape[1]
+                lr = g2l[r, np.repeat(e, k, axis=1).ravel()]
+                lc = g2l[r, np.tile(e, (1, k)).ravel()]
+                ok = lr < len(owned[r])
+                keys.append(np.where(ok, lr * self.Lp + lc, 0))
+            all_keys = np.concatenate(
+                keys
+                + [np.arange(len(owned[r]), dtype=np.int64) * self.Lp
+                   + np.arange(len(owned[r]))]
+            )  # ensure diagonal slots exist (Dirichlet rows)
+            # local CSR from row-major keys (np.unique sorts ascending ==
+            # CSR order; discarded ghost-row entries were keyed 0 and get
+            # re-pointed at the scratch slot below)
+            uniq, inv = np.unique(all_keys, return_inverse=True)
+            lr_u = (uniq // self.Lp).astype(np.int64)
+            lc_u = (uniq % self.Lp).astype(np.int32)
+            indptr_r = np.zeros(n_own_max + 1, dtype=np.int64)
+            np.add.at(indptr_r[1:], lr_u, 1)
+            np.cumsum(indptr_r, out=indptr_r)
+            K_r, nrb_r, cb_r, pos_bell = build_block_ell(
+                indptr_r, lc_u, n_own_max, ncols=self.Lp
+            )
+            per_rank.append((inv, pos_bell, cb_r, K_r))
+            K_max = max(K_max, K_r)
+        self.K, self.nrb = K_max, nrb
+        ntile = K_max * nrb * BR * BC
+        self._scratch = ntile  # discarded-entry slot (one past the end)
+
+        # per-rank per-batch padded element arrays + entry->tile positions
+        self._batches_dev = []
+        ne_pad = [max(len(s[r]) for r in range(nd)) for s in sel]
+        for bi, (dm, Ae_fn, be_fn, elem_data) in enumerate(batches):
+            k = dm.shape[1]
+            pos_all = np.full((nd, ne_pad[bi] * k * k), self._scratch,
+                              dtype=np.int64)
+            ldof_all = np.full((nd, ne_pad[bi], k), L, dtype=np.int32)
+            data_all = []
+            off = 0
+            for r in range(nd):
+                inv, pos_bell, cb_r, K_r = per_rank[r]
+                ids = sel[bi][r]
+                ner = len(ids)
+                # recompute this batch's key slice offsets within all_keys
+                # (batches were concatenated in order)
+                start = sum(len(sel[bj][r]) * dofmaps[bj].shape[1] ** 2
+                            for bj in range(bi))
+                seg = inv[start : start + ner * k * k]
+                e = dm[ids]
+                lr = g2l[r, np.repeat(e, k, axis=1).ravel()]
+                ok = lr < len(owned[r])
+                p = np.where(ok, pos_bell[seg], self._scratch)
+                pos_all[r, : ner * k * k] = p
+                ldof_all[r, :ner] = np.where(
+                    g2l[r, e] < L, g2l[r, e], L
+                ).astype(np.int32)
+                data_all.append(
+                    jax.tree_util.tree_map(
+                        lambda a: _pad_axis0(np.asarray(a)[ids], ne_pad[bi]),
+                        elem_data,
+                    )
+                )
+            data_stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.asarray(np.stack(xs)), *data_all
+            )
+            self._batches_dev.append(
+                dict(
+                    Ae_fn=Ae_fn,
+                    be_fn=be_fn,
+                    k=k,
+                    pos=jnp.asarray(pos_all),
+                    ldofs=jnp.asarray(ldof_all),
+                    data=data_stack,
+                )
+            )
+
+        cb_all = np.zeros((nd, K_max, nrb), dtype=np.int32)
+        for r in range(nd):
+            _, _, cb_r, K_r = per_rank[r]
+            cb_all[r, :K_r] = cb_r
+        own_mask = np.zeros((nd, self.Lp), dtype=np.float64)
+        for r in range(nd):
+            own_mask[r, : len(owned[r])] = 1.0
+        perms, send_list, recv_list = _build_exchange_rounds(
+            owner, ghosts, g2l, gc, nd, L
+        )
+        self.perms = perms
+        self._owned, self._ghosts = owned, ghosts
+        self._dev = dict(
+            col_blocks=cb_all,
+            own_mask=own_mask,
+            sends=tuple(send_list),
+            recvs=tuple(recv_list),
+        )
+        self._compiled = None
+
+    def scatter_local(self, v_global):
+        v = np.asarray(v_global)
+        out = np.zeros((self.n_dev, self.Lp), dtype=v.dtype)
+        for r in range(self.n_dev):
+            ow, gh = self._owned[r], self._ghosts[r]
+            out[r, : len(ow)] = v[ow]
+            out[r, self.n_own_max : self.n_own_max + len(gh)] = v[gh]
+        return out
+
+    gather_global = HaloShardedSolver.gather_global
+
+    def _build(self, tol, maxiter):
+        mesh = self.device_mesh
+        Lp, n_own_max = self.Lp, self.n_own_max
+        K, nrb = self.K, self.nrb
+        perms = self.perms
+        ncb = (Lp + BC - 1) // BC
+        ntile = K * nrb * BR * BC
+        scratch = self._scratch
+        nsr = len(self._dev["sends"])
+        batches = self._batches_dev
+
+        data_specs = tuple(
+            jax.tree_util.tree_map(lambda _: P(AXIS), b["data"])
+            for b in batches
+        )
+        in_specs = (
+            P(AXIS),  # col_blocks
+            P(AXIS),  # own_mask
+            tuple(P(AXIS) for _ in range(nsr)),
+            tuple(P(AXIS) for _ in range(nsr)),
+            tuple(P(AXIS) for _ in batches),  # pos
+            tuple(P(AXIS) for _ in batches),  # ldofs
+            data_specs,
+            P(AXIS),  # free_loc
+            P(AXIS),  # ubc_loc
+        )
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(AXIS), P()),
+            check_vma=False,
+        )
+        def assemble_pcg(col_blocks, own_mask, sends, recvs, poss, ldofss,
+                         datas, free, ubc):
+            col_blocks = col_blocks[0]
+            own_mask = own_mask[0]
+            sends = tuple(s[0] for s in sends)
+            recvs = tuple(r[0] for r in recvs)
+            free = free[0]
+            ubc = ubc[0]
+
+            # --- sharded assembly: local tiles + local rhs ----------------
+            tiles_flat = jnp.zeros(ntile + 1, dtype=free.dtype)
+            b = jnp.zeros(Lp, dtype=free.dtype)
+            for bd, pos, ldofs, data in zip(batches, poss, ldofss, datas):
+                data0 = jax.tree_util.tree_map(lambda a: a[0], data)
+                Ae = jax.vmap(bd["Ae_fn"])(data0)  # (ne, k, k)
+                be = jax.vmap(bd["be_fn"])(data0)  # (ne, k)
+                tiles_flat = tiles_flat.at[pos[0]].add(Ae.reshape(-1))
+                b = b.at[ldofs[0].reshape(-1)].add(be.reshape(-1))
+            tiles = tiles_flat[:ntile].reshape(K, nrb, BR, BC)
+            b = b.at[Lp - 1].set(0.0)
+
+            def exchange(x):  # noqa: E306 - defined before first use below
+                for si in range(len(perms)):
+                    buf = x[sends[si]]
+                    rec = jax.lax.ppermute(buf, AXIS, list(perms[si]))
+                    x = x.at[recvs[si]].set(rec)
+                return x
+
+            def spmv_own(x):
+                xp = jnp.zeros(ncb * BC, dtype=x.dtype).at[:Lp].set(x)
+                x2 = xp.reshape(ncb, BC)
+
+                def slot(kk, y):
+                    xb = x2[col_blocks[kk]]
+                    return y + jnp.einsum("rij,rj->ri", tiles[kk], xb)
+
+                y = jax.lax.fori_loop(
+                    0, K, slot, jnp.zeros((nrb, BR), x.dtype)
+                )
+                return y.reshape(-1)[:n_own_max]
+
+            def matvec_raw(x):
+                y = jnp.zeros(Lp, dtype=x.dtype).at[:n_own_max].set(
+                    spmv_own(x)
+                )
+                return exchange(y)
+
+            def matvec(x):
+                return free * matvec_raw(free * x) + (1 - free) * x
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.sum(own_mask * a * c), AXIS)
+
+            diag = _bell_diagonal(tiles, col_blocks, n_own_max)
+            diag = jnp.zeros(Lp, dtype=b.dtype).at[:n_own_max].set(diag)
+            diag = exchange(diag)
+            diag = free * diag + (1 - free)
+            inv_d = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+
+            # local b holds PARTIAL sums in ghost slots (only this rank's
+            # elements contributed); owners have the complete rows —
+            # refresh ghosts so every vector entering CG is consistent
+            b = exchange(b)
+            rhs = free * (b - matvec_raw(ubc)) + (1 - free) * ubc
+            x0 = jnp.zeros_like(rhs)
+            r0 = rhs - matvec(x0)
+            z0 = inv_d * r0
+            bnorm = jnp.sqrt(dot(rhs, rhs))
+            target = tol * jnp.maximum(bnorm, 1e-30)
+
+            def cond(st):
+                x, r, z, p, rz, i = st
+                return (jnp.sqrt(dot(r, r)) > target) & (i < maxiter)
+
+            def body(st):
+                x, r, z, p, rz, i = st
+                Ap = matvec(p)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = inv_d * r
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, i + 1)
+
+            x, r, *_, iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, dot(r0, z0), jnp.array(0))
+            )
+            return x[None], jnp.asarray(iters)
+
+        return assemble_pcg
+
+    def solve(self, free_mask, u_bc, tol=1e-10, maxiter=2000):
+        """Assemble on-device (sharded) and CG-solve.  Returns (x, iters)."""
+        dtype = jnp.asarray(free_mask).dtype
+        if self._compiled is None:
+            self._compiled = jax.jit(self._build(tol, maxiter))
+        d = self._dev
+        free_np = self.scatter_local(np.asarray(free_mask))
+        valid = np.zeros((self.n_dev, self.Lp), dtype=bool)
+        for r in range(self.n_dev):
+            valid[r, : len(self._owned[r])] = True
+            valid[
+                r,
+                self.n_own_max : self.n_own_max + len(self._ghosts[r]),
+            ] = True
+        free_np[~valid] = 0.0
+        x, iters = self._compiled(
+            jnp.asarray(d["col_blocks"]),
+            jnp.asarray(d["own_mask"], dtype=dtype),
+            tuple(jnp.asarray(s) for s in d["sends"]),
+            tuple(jnp.asarray(r) for r in d["recvs"]),
+            tuple(b["pos"] for b in self._batches_dev),
+            tuple(b["ldofs"] for b in self._batches_dev),
+            tuple(b["data"] for b in self._batches_dev),
+            jnp.asarray(free_np),
+            jnp.asarray(self.scatter_local(np.asarray(u_bc))),
+        )
+        return self.gather_global(x), int(np.asarray(iters).ravel()[0])
+
+
+def _pad_axis0(a, n):
+    """Zero-pad axis 0 to length n."""
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+def batches_from_form(form):
+    """Convert a finalized AFFINE Form into :class:`HaloElementSolver`
+    batches: per element, Ae = jacfwd of the residual kernel at u = 0 and
+    be = -kernel(0) (the distributed analog of
+    ``assembly.assemble_linear_system``).  Cell terms and boundary-facet
+    terms both become element batches — their contexts carry the dof map
+    and per-entity geometry with leading entity axis."""
+    batches = []
+    for term in form.cell_terms + form.facet_terms:
+        k = int(term.ctx.cell_dofs.shape[1])
+        kern = term.kernel
+        ctx_np = jax.tree_util.tree_map(np.asarray, term.ctx)
+        if term.aux is not None:
+            data = (ctx_np, jax.tree_util.tree_map(np.asarray, term.aux))
+
+            def Ae_fn(d, kern=kern, k=k):
+                return jax.jacfwd(kern, argnums=0)(
+                    jnp.zeros(k), d[0], d[1]
+                )
+
+            def be_fn(d, kern=kern, k=k):
+                return -kern(jnp.zeros(k), d[0], d[1])
+
+        else:
+            data = (ctx_np,)
+
+            def Ae_fn(d, kern=kern, k=k):
+                return jax.jacfwd(kern, argnums=0)(jnp.zeros(k), d[0], None)
+
+            def be_fn(d, kern=kern, k=k):
+                return -kern(jnp.zeros(k), d[0], None)
+
+        batches.append(
+            (np.asarray(term.ctx.cell_dofs), Ae_fn, be_fn, data)
+        )
+    return batches
 
 
 def _bell_diagonal(tiles, col_blocks, n_own):

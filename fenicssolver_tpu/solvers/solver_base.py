@@ -626,6 +626,50 @@ class SolverBase:
         return self._copy_periodic(x)
 
     def solve_linear_problem(self, form, u, dirichlet, spd=True):
+        sp = self._solver_params()
+        # distributed = "element": element-level sharded assembly + halo CG
+        # (SURVEY.md §5.7-5.8 — the dolfin rank-local-assembly analog; the
+        # whole assemble+solve runs as one sharded device dispatch)
+        if (
+            sp.get("distributed") == "element"
+            and spd
+            and self._periodic_slaves() is None
+        ):
+            import jax as _jax
+
+            if len(_jax.devices()) > 1:
+                from ..parallel.halo import HaloElementSolver, batches_from_form
+
+                if dirichlet is not None and dirichlet.any:
+                    free, ubc = dirichlet.free_mask, dirichlet.u_bc
+                else:
+                    ndof = self.function_space.ndof
+                    free = jnp.ones(ndof, dtype=jnp.asarray(u.values).dtype)
+                    ubc = jnp.zeros(ndof, dtype=free.dtype)
+                hs = getattr(self, "_halo_element_solver", None)
+                if hs is None or hs._form_id != id(form):
+                    hs = HaloElementSolver(
+                        batches_from_form(form),
+                        self.function_space.dof_coords,
+                        self.function_space.ndof,
+                    )
+                    hs._form_id = id(form)
+                    self._halo_element_solver = hs
+                x, it = hs.solve(
+                    free, ubc,
+                    tol=sp.get("relative_tolerance", 1e-8),
+                    maxiter=sp.get("maximum_iterations", 2000),
+                )
+                if sp.get("monitor_convergence"):
+                    self.logger.info(
+                        "element-sharded assembly + halo CG: %d iters", it
+                    )
+                u.values = np.array(x)
+                return u
+            self.logger.warning(
+                "distributed=element requested but only one device is "
+                "visible; falling back to the serial path"
+            )
         A, b = assembly.assemble_linear_system(form, dtype=u.values.dtype)
         x = self.solve_static(A, b, dirichlet, x0=jnp.asarray(u.values), spd=spd)
         u.values = np.array(x)

@@ -42,7 +42,7 @@ def _assembled_poisson(mesh, degree=1):
     dd = assembly.DirichletData(V.ndof)
     dd.add(V.facet_dofs(mesh.exterior_facets()), 0.0)
     dd.finalize()
-    return V, A, b, dd
+    return V, A, b, dd, form
 
 
 def _assembled_elasticity(n):
@@ -80,7 +80,7 @@ def _assembled_elasticity(n):
     dd = assembly.DirichletData(V.ndof)
     dd.add(V.facet_dofs(mesh.exterior_facets()), 0.0)
     dd.finalize()
-    return V, A, b, dd
+    return V, A, b, dd, form
 
 
 def _serial(A, b, dd, tol=1e-12):
@@ -104,7 +104,7 @@ def test_partition_balanced():
 def test_halo_poisson3d_matches_serial():
     assert len(jax.devices()) >= 8
     mesh = UnitCubeMesh(10, 10, 10)
-    V, A, b, dd = _assembled_poisson(mesh)
+    V, A, b, dd, form = _assembled_poisson(mesh)
     hs = HaloShardedSolver(A, V.dof_coords, devices=jax.devices()[:8])
     x, iters = hs.solve(b, dd.free_mask, dd.u_bc, tol=1e-12, maxiter=4000)
     x_ref = _serial(A, b, dd)
@@ -118,7 +118,7 @@ def test_halo_poisson3d_matches_serial():
 def test_halo_poisson2d_matches_serial():
     assert len(jax.devices()) >= 8
     mesh = UnitSquareMesh(16, 16)
-    V, A, b, dd = _assembled_poisson(mesh, degree=2)
+    V, A, b, dd, form = _assembled_poisson(mesh, degree=2)
     hs = HaloShardedSolver(A, V.dof_coords, devices=jax.devices()[:8])
     x, iters = hs.solve(b, dd.free_mask, dd.u_bc, tol=1e-12, maxiter=4000)
     x_ref = _serial(A, b, dd)
@@ -128,7 +128,7 @@ def test_halo_poisson2d_matches_serial():
 
 def test_halo_elasticity_matches_serial():
     assert len(jax.devices()) >= 8
-    V, A, b, dd = _assembled_elasticity(6)
+    V, A, b, dd, form = _assembled_elasticity(6)
     hs = HaloShardedSolver(A, V.dof_coords, devices=jax.devices()[:8])
     x, iters = hs.solve(b, dd.free_mask, dd.u_bc, tol=1e-12, maxiter=4000)
     x_ref = _serial(A, b, dd)
@@ -160,3 +160,122 @@ def test_distributed_routing_from_solver_layer():
         T_serial.values
     )
     assert err < 1e-9, err
+
+
+# -- element-level sharded assembly (HaloElementSolver) -----------------------
+
+
+def test_element_sharded_poisson3d_matches_serial():
+    """Sharded device-side assembly + halo CG == serial assemble+solve
+    (ROADMAP scaling item 6: assembly itself runs in the sharded layout)."""
+    from fenicssolver_tpu.parallel.halo import (
+        HaloElementSolver,
+        batches_from_form,
+    )
+
+    assert len(jax.devices()) >= 8
+    mesh = UnitCubeMesh(8, 8, 8)
+    V, A, b, dd, form = _assembled_poisson(mesh)
+    hs = HaloElementSolver(
+        batches_from_form(form), V.dof_coords, V.ndof,
+        devices=jax.devices()[:8],
+    )
+    x, iters = hs.solve(dd.free_mask, dd.u_bc, tol=1e-12, maxiter=4000)
+    x_ref = _serial(A, b, dd)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-10, err
+    assert hs.Lp < V.ndof / 2, (hs.Lp, V.ndof)
+
+
+def test_element_sharded_elasticity_matches_serial():
+    from fenicssolver_tpu.parallel.halo import (
+        HaloElementSolver,
+        batches_from_form,
+    )
+
+    assert len(jax.devices()) >= 8
+    V, A, b, dd, form = _assembled_elasticity(6)
+    hs = HaloElementSolver(
+        batches_from_form(form), V.dof_coords, V.ndof,
+        devices=jax.devices()[:8],
+    )
+    x, iters = hs.solve(dd.free_mask, dd.u_bc, tol=1e-12, maxiter=4000)
+    x_ref = _serial(A, b, dd)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-10, err
+
+
+def test_element_sharded_with_facet_terms():
+    """Boundary-facet batches (Robin/HTC-type term) assemble sharded too."""
+    from fenicssolver_tpu.parallel.halo import (
+        HaloElementSolver,
+        batches_from_form,
+    )
+
+    assert len(jax.devices()) >= 8
+    mesh = UnitSquareMesh(12, 12)
+    V = FunctionSpace(mesh, "CG", 1)
+    tab = geometry.basis_tables(mesh.tdim, 1, 2)
+    phi = jnp.asarray(tab.phi)
+    dphi = jnp.asarray(tab.dphi)
+    qw = jnp.asarray(tab.qw)
+
+    def cell_kernel(ue, geom, aux):
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        g = geometry.interp_grad(dphig, ue)
+        r = jnp.einsum("q,qg,qig->i", qw, g, dphig) * geom.detJ
+        return r - jnp.einsum("q,qi->i", qw, phi) * geom.detJ
+
+    htc, Ta = 5.0, 300.0
+    fphi_tab, _, fw, _ = geometry.facet_basis_tables(mesh.tdim, 1, 2)
+    fphi = jnp.asarray(fphi_tab)
+    fwj = jnp.asarray(fw)
+
+    def facet_kernel(ue, geom, aux):
+        phif = fphi[geom.local_id]
+        T_q = phif @ ue
+        val = htc * (Ta - T_q)
+        return -jnp.einsum("q,q,qi->i", fwj * geom.detF, val, phif)
+
+    ctx = geometry.build_cell_context(V, 2)
+    fids = mesh.exterior_facets()
+    fctx = geometry.build_facet_context(V, fids, 2)
+    form = assembly.Form(space=V)
+    form.cell_terms.append(assembly.CellTerm(kernel=cell_kernel, ctx=ctx))
+    form.facet_terms.append(assembly.FacetTerm(kernel=facet_kernel, ctx=fctx))
+    form.finalize()
+    A, b = assembly.assemble_linear_system(form)
+    dd = assembly.DirichletData(V.ndof)
+    dd.finalize()  # pure Robin: no Dirichlet rows
+    x_ref = _serial(A, b, dd)
+    hs = HaloElementSolver(
+        batches_from_form(form), V.dof_coords, V.ndof,
+        devices=jax.devices()[:8],
+    )
+    x, iters = hs.solve(dd.free_mask, dd.u_bc, tol=1e-12, maxiter=4000)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-10, err
+
+
+def test_element_distributed_routing_from_solver_layer():
+    """solver_parameters.distributed = "element" runs a real scalar case
+    with sharded assembly and matches the serial result."""
+    from fenicssolver_tpu.solvers.scalar_transport import ScalarTransportSolver
+    from tests.test_heat_transfer import base_settings, make_bcs
+
+    mesh = UnitSquareMesh(12, 12)
+    Q = FunctionSpace(mesh, "CG", 1)
+    s = base_settings(Q, make_bcs())
+    serial = ScalarTransportSolver(s)
+    serial.material["conductivity"] = 0.6
+    T_serial = serial.solve()
+
+    s2 = base_settings(Q, make_bcs())
+    s2["solver_settings"]["solver_parameters"]["distributed"] = "element"
+    dist = ScalarTransportSolver(s2)
+    dist.material["conductivity"] = 0.6
+    T_dist = dist.solve()
+    err = np.linalg.norm(T_dist.values - T_serial.values) / np.linalg.norm(
+        T_serial.values
+    )
+    assert err < 1e-8, err
