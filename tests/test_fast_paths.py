@@ -127,3 +127,97 @@ def test_jitted_transient_elasticity_dynamics_matches_python_loop():
         u_py.values
     )
     assert err < 1e-6, err
+
+
+def test_cached_transient_form_matches_rebuild():
+    """solver_parameters.cache_transient_form reuses the step-1 form and
+    refreshes only the history aux — trajectory must match the per-step
+    rebuild exactly, with generate_form called ~twice instead of per step
+    (VERDICT r1 weak-7 / ROADMAP item 14: automatic routing)."""
+    n_steps, dt = 8, 0.02
+    ref_solver = ScalarTransportSolver(make(n_steps, dt))
+    T_ref = ref_solver.solve()
+
+    s = make(n_steps, dt)
+    s["solver_settings"]["solver_parameters"] = dict(
+        s["solver_settings"]["solver_parameters"],
+        cache_transient_form=True,
+    )
+    solver = ScalarTransportSolver(s)
+    calls = [0]
+    orig = solver.generate_form
+
+    def counting(*a, **k):
+        calls[0] += 1
+        return orig(*a, **k)
+
+    solver.generate_form = counting
+    T = solver.solve()
+    err = np.linalg.norm(T.values - T_ref.values) / np.linalg.norm(
+        T_ref.values
+    )
+    assert err < 1e-12, err
+    assert calls[0] <= 2, calls[0]  # step 0 + step 1, then cached
+
+
+def test_cached_transient_form_elasticity_dynamics():
+    """Cache with the accel-carrying dynamics form: matches per-step
+    rebuild (the accel aux is refreshed from history each step)."""
+    import copy as _copy
+
+    from fenicssolver_tpu.core import UnitSquareMesh as _USM
+    from fenicssolver_tpu.core import VectorFunctionSpace as _VFS
+    from fenicssolver_tpu.core import AutoSubDomain, near
+    from fenicssolver_tpu.solvers.linear_elasticity import (
+        LinearElasticitySolver,
+    )
+
+    def settings():
+        mesh = _USM(6, 3)
+        V = _VFS(mesh, "CG", 1)
+        left = AutoSubDomain(lambda x: near(x[0], 0.0))
+        right = AutoSubDomain(lambda x: near(x[0], 1.0))
+        bcs = {
+            "fixed": {
+                "boundary": left, "boundary_id": 1,
+                "values": [{"variable": "displacement",
+                            "type": "Dirichlet", "value": (0.0, 0.0)}],
+            },
+            "load": {
+                "boundary": right, "boundary_id": 2,
+                "values": [{"variable": "displacement", "type": "pressure",
+                            "value": 1e3}],
+            },
+        }
+        return {
+            "solver_name": "LinearElasticitySolver",
+            "function_space": V,
+            "boundary_conditions": bcs,
+            "material": {"density": 7800.0, "elastic_modulus": 2e9,
+                         "poisson_ratio": 0.3},
+            "solver_settings": {
+                "transient_settings": {
+                    "transient": True, "starting_time": 0.0,
+                    "time_step": 1e-4, "ending_time": 5.5e-4,
+                },
+                "solver_parameters": {
+                    "relative_tolerance": 1e-12,
+                    "maximum_iterations": 4000,
+                },
+            },
+            "vector_name": "displacement",
+        }
+
+    ref = LinearElasticitySolver(settings())
+    ref.solving_dynamics = True
+    u_ref = ref.solve()
+
+    s2 = settings()
+    s2["solver_settings"]["solver_parameters"]["cache_transient_form"] = True
+    fast = LinearElasticitySolver(s2)
+    fast.solving_dynamics = True
+    u = fast.solve()
+    err = np.linalg.norm(u.values - u_ref.values) / max(
+        np.linalg.norm(u_ref.values), 1e-30
+    )
+    assert err < 1e-10, err
