@@ -129,7 +129,20 @@ class FSISolver(CoupledSolver):
             if s["solver_domain"] == "fluidic":
                 self.fluid_solver = CoupledNavierStokesSolver(s["settings"])
             elif s["solver_domain"] == "elastic":
-                self.solid_solver = LinearElasticitySolver(s["settings"])
+                # the reference wires only LinearElasticitySolver and keeps
+                # LargeDeformationSolver commented out (FSISolver.py:142-145);
+                # here the participant's solver_name selects it — the
+                # vertex-tensor stress BC is Nanson-pulled-back in
+                # LargeDeformationSolver._add_tensor_field_traction
+                if (
+                    s["settings"].get("solver_name")
+                    == "LargeDeformationSolver"
+                ):
+                    from .large_deformation import LargeDeformationSolver
+
+                    self.solid_solver = LargeDeformationSolver(s["settings"])
+                else:
+                    self.solid_solver = LinearElasticitySolver(s["settings"])
             else:
                 raise SolverError(
                     f"unsupported subdomain solver: {s['solver_domain']}"

@@ -199,10 +199,19 @@ class LargeDeformationSolver(NonlinearElasticitySolver):
                     self._add_pushforward_traction(form, fids, None, qdeg,
                                                    normal_scale=-p)
                 elif btype == "stress":
+                    g = it["value"]
+                    if (
+                        isinstance(g, tuple)
+                        and len(g) == 2
+                        and g[0] == "vertex_tensor_field"
+                    ):
+                        # FSI path: per-vertex Cauchy stress mapped from the
+                        # fluid (FSISolver.update_solid_interface) — pulled
+                        # back to the reference surface by Nanson's formula
+                        self._add_tensor_field_traction(form, fids, g[1], qdeg)
+                        continue
                     g = np.asarray(
-                        it["value"].value
-                        if isinstance(it["value"], Constant)
-                        else it["value"],
+                        g.value if isinstance(g, Constant) else g,
                         dtype=np.float64,
                     )
                     self._add_pushforward_traction(form, fids, g, qdeg)
@@ -280,6 +289,59 @@ class LargeDeformationSolver(NonlinearElasticitySolver):
             return r
 
         form.facet_terms.append(assembly.FacetTerm(kernel=kernel, ctx=fctx))
+
+    def _add_tensor_field_traction(self, form, fids, sigma_vertex, qdeg):
+        """Traction from a P1 per-vertex Cauchy stress field (FSI coupling):
+        force = int_cur sigma n da = int_ref J sigma F^-T N dA (Nanson), so
+        the reference-surface traction is J sigma F^-T N with F = I + grad U
+        traced from the current displacement — the large-deformation analog
+        of ``LinearElasticitySolver._add_tensor_field_traction``."""
+        if len(fids) == 0:
+            return
+        W = self.function_space
+        mesh = self.mesh
+        Vu = W.subspaces[0]
+        d = Vu.vdim
+        ku = Vu.scalar_space.ndof_el
+        nu_off = ku * d
+        fctx = geometry.build_facet_context(W, fids, qdeg)
+        fphi_tab, fdphi_tab, fw, _ = geometry.facet_basis_tables(
+            mesh.tdim, Vu.degree, qdeg
+        )
+        fphi = jnp.asarray(fphi_tab)
+        fdphi = jnp.asarray(fdphi_tab)
+        fwj = jnp.asarray(fw)
+        from ..core import elements
+
+        fv = mesh.facets()[np.asarray(fids)]
+        _, fpts, _ = elements.facet_quadrature_in_cell(mesh.tdim, qdeg)
+        lam = np.concatenate(
+            [1 - fpts.sum(axis=1, keepdims=True), fpts], axis=1
+        )
+        sig_q = np.einsum("qv,fvab->fqab", lam, sigma_vertex[fv])
+        aux = {"sig": jnp.asarray(sig_q)}
+        I = jnp.eye(d)
+
+        def kernel(we, geom, aux_e):
+            U = we[:nu_off].reshape(ku, d)
+            phif = fphi[geom.local_id]
+            dphig = jnp.einsum("qkt,tg->qkg", fdphi[geom.local_id], geom.Jinv)
+            gU = jnp.einsum("qkg,kv->qvg", dphig, U)
+
+            def push(gradU, sig):
+                F = I + gradU
+                J = jnp.linalg.det(F)
+                return J * sig @ (jnp.linalg.inv(F).T @ geom.normal)
+
+            t_q = jax.vmap(push)(gU, aux_e["sig"])  # (nq, d)
+            r_v = -jnp.einsum("q,qv,qk->kv", fwj * geom.detF, t_q, phif)
+            r = jnp.zeros(we.shape[0], dtype=we.dtype)
+            r = r.at[nu_off : 2 * nu_off].set(r_v.reshape(-1))
+            return r
+
+        form.facet_terms.append(
+            assembly.FacetTerm(kernel=kernel, ctx=fctx, aux=aux)
+        )
 
     def solve_form(self, F, w_, bcs):
         return self.solve_nonlinear_problem(F, w_, bcs, spd=False)

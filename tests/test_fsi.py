@@ -262,3 +262,107 @@ def test_fsi_pressure_loaded_cantilever_matches_beam_theory():
     assert w_num < 0, f"beam should deflect downward, got {w_num}"
     rel = abs(w_num - w_exact) / abs(w_exact)
     assert rel < 0.15, (w_num, w_exact, rel)
+
+
+def test_fsi_with_large_deformation_solid():
+    """LargeDeformationSolver as the FSI solid participant (the reference
+    keeps it commented out, FSISolver.py:142-145).  Same pressurized-fluid
+    cantilever as the linear anchor: at this load level the neo-Hookean
+    response is linear, so the tip deflection must still track
+    Euler-Bernoulli w(L) = q L^4 / (8 E I).  The mixed (u, v, p) solid
+    carries true inertia, so the suddenly-applied load rings (undamped CN);
+    the check uses the average of the last two steps."""
+    L, t = 1.0, 0.1
+    p0 = 50.0
+    E = 1e7
+    fluid_mesh = RectangleMesh(Point(0, t), Point(L, 0.4), 10, 4)
+    solid_mesh = RectangleMesh(Point(0, 0.0), Point(L, t), 20, 2)
+
+    inlet = AutoSubDomain(lambda x: near(x[0], 0.0))
+    outlet = AutoSubDomain(lambda x: near(x[0], L))
+    top = AutoSubDomain(lambda x: near(x[1], 0.4))
+    interface = AutoSubDomain(lambda x: near(x[1], t))
+    clamp = AutoSubDomain(lambda x: near(x[0], 0.0))
+
+    fluid_bcs = {
+        "inlet": {"boundary": inlet, "boundary_id": 1, "values": [
+            {"variable": "pressure", "type": "Dirichlet", "value": p0}]},
+        "outlet": {"boundary": outlet, "boundary_id": 2, "values": [
+            {"variable": "pressure", "type": "Dirichlet", "value": p0}]},
+        "top": {"boundary": top, "boundary_id": 3, "values": [
+            {"variable": "velocity", "type": "Dirichlet", "value": (0.0, 0.0)}]},
+        "interface": {"boundary": interface, "boundary_id": 4,
+                      "coupling": "FSI"},
+    }
+    solid_bcs = {
+        "clamp": {"boundary": clamp, "boundary_id": 1, "type": "Dirichlet",
+                  "value": Constant((0.0, 0.0))},
+        "interface": {"boundary": interface, "boundary_id": 4,
+                      "coupling": "FSI", "type": "stress",
+                      "value": Constant((0.0, 0.0))},
+    }
+    transient = {"transient": True, "starting_time": 0.0,
+                 "time_step": 0.2, "ending_time": 0.8}
+    report = {"plotting_freq": 0, "saving_freq": 0,
+              "plotting_interactive": False, "logging_level": 40}
+    fluid_settings = {
+        "solver_name": "CoupledNavierStokesSolver",
+        "mesh": fluid_mesh, "fe_degree": 1,
+        "boundary_conditions": fluid_bcs, "body_source": None,
+        "initial_values": {"velocity": (0.0, 0.0), "pressure": p0},
+        "material": {"density": 1.0, "kinematic_viscosity": 0.1},
+        "solver_settings": {
+            "transient_settings": transient,
+            "reference_values": {"pressure": 101325.0},
+            "solver_parameters": {"relative_tolerance": 1e-10,
+                                  "maximum_iterations": 100,
+                                  "monitor_convergence": False}},
+        "report_settings": report,
+    }
+    solid_settings = {
+        "solver_name": "LargeDeformationSolver",
+        "mesh": solid_mesh, "fe_degree": 2,
+        "boundary_conditions": solid_bcs,
+        "material": {"elastic_modulus": E, "poisson_ratio": 0.3,
+                     "density": 10.0},
+        "solver_settings": {
+            "transient_settings": transient,
+            "reference_values": {"temperature": 293},
+            "solver_parameters": {"relative_tolerance": 1e-10,
+                                  "maximum_iterations": 50,
+                                  "monitor_convergence": False}},
+        "report_settings": report,
+    }
+    fsi = FSISolver({
+        "solver_name": "FSISolver",
+        "participants": [
+            {"solver_domain": "fluidic", "settings": fluid_settings},
+            {"solver_domain": "elastic", "settings": solid_settings},
+        ],
+        "parent_mesh": None,
+        "transient_settings": transient,
+        "coupling_settings": {},
+    })
+    from fenicssolver_tpu.solvers.large_deformation import (
+        LargeDeformationSolver,
+    )
+
+    assert isinstance(fsi.solid_solver, LargeDeformationSolver)
+    fsi.solve()
+    W = fsi.solid_solver.function_space
+    su = W.slice_of(0)
+    U_now = fsi.solid_solver.w_current.values[su].reshape(-1, 2)
+    U_prev = fsi.solid_solver.w_prev.values[su].reshape(-1, 2)
+    U = 0.5 * (U_now + U_prev)  # damp the undamped CN ringing
+    X = W.subspaces[0].scalar_space.dof_coords
+    tip = np.argmin((X[:, 0] - L) ** 2 + (X[:, 1] - t / 2) ** 2)
+    w_num = U[tip, 1]
+    I = t ** 3 / 12.0
+    # plane strain: effective modulus E / (1 - nu^2); nu = 0 is singular
+    # for the mixed form (its compressible mass balance carries 1/lambda)
+    E_eff = E / (1.0 - 0.3 ** 2)
+    w_exact = -p0 * L ** 4 / (8.0 * E_eff * I)
+    assert np.isfinite(U).all()
+    assert w_num < 0, f"beam should deflect downward, got {w_num}"
+    rel = abs(w_num - w_exact) / abs(w_exact)
+    assert rel < 0.3, (w_num, w_exact, rel)
