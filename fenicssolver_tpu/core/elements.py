@@ -157,12 +157,15 @@ def _bary_grads(tdim):
 
 def num_dofs(tdim, degree):
     nv = tdim + 1
+    ne = {1: 1, 2: 3, 3: 6}[tdim]
     if degree == 1:
         return nv
     if degree == 2:
-        ne = {1: 1, 2: 3, 3: 6}[tdim]
         return nv + ne
-    raise ValueError(f"only P1/P2 supported, got degree {degree}")
+    if degree == 3:
+        nf = {1: 0, 2: 1, 3: 4}[tdim]  # interior (2D) / face (3D) bubbles
+        return nv + 2 * ne + nf
+    raise ValueError(f"only P1/P2/P3 supported, got degree {degree}")
 
 
 def tabulate(tdim, degree, pts):
@@ -199,7 +202,47 @@ def tabulate(tdim, degree, pts):
                 lam[:, a, None] * dlam[b] + lam[:, b, None] * dlam[a]
             )
         return phi, dphi
-    raise ValueError(f"only P1/P2 supported, got degree {degree}")
+    if degree == 3:
+        edges = [(0, 1)] if tdim == 1 else _EDGE_VERTICES[tdim]
+        if tdim == 3:
+            # face f opposite vertex f (mesh local-facet convention)
+            faces = [tuple(v for v in range(4) if v != f) for f in range(4)]
+        elif tdim == 2:
+            faces = [(0, 1, 2)]  # one interior bubble
+        else:
+            faces = []
+        ndof = nv + 2 * len(edges) + len(faces)
+        phi = np.zeros((nq, ndof))
+        dphi = np.zeros((nq, ndof, tdim))
+        for i in range(nv):
+            li = lam[:, i]
+            phi[:, i] = 0.5 * li * (3 * li - 1) * (3 * li - 2)
+            dcoef = 0.5 * ((3 * li - 1) * (3 * li - 2)
+                           + 3 * li * (3 * li - 2) + 3 * li * (3 * li - 1))
+            dphi[:, i, :] = dcoef[:, None] * dlam[i]
+        for k, (a, b) in enumerate(edges):
+            la, lb = lam[:, a], lam[:, b]
+            # dof order per edge: the node nearer a (lam_a = 2/3), then the
+            # node nearer b — cell vertices are globally sorted, so local
+            # near-a == global near-lower-vertex (no orientation table)
+            for j, (u, v) in enumerate(((a, b), (b, a))):
+                lu, lv = lam[:, u], lam[:, v]
+                phi[:, nv + 2 * k + j] = 4.5 * lu * lv * (3 * lu - 1)
+                dphi[:, nv + 2 * k + j, :] = 4.5 * (
+                    (lv * (3 * lu - 1) + 3 * lu * lv)[:, None] * dlam[u]
+                    + (lu * (3 * lu - 1))[:, None] * dlam[v]
+                )
+        for m, f in enumerate(faces):
+            a, b, c = f
+            la, lb, lc = lam[:, a], lam[:, b], lam[:, c]
+            phi[:, nv + 2 * len(edges) + m] = 27 * la * lb * lc
+            dphi[:, nv + 2 * len(edges) + m, :] = 27 * (
+                (lb * lc)[:, None] * dlam[a]
+                + (la * lc)[:, None] * dlam[b]
+                + (la * lb)[:, None] * dlam[c]
+            )
+        return phi, dphi
+    raise ValueError(f"only P1/P2/P3 supported, got degree {degree}")
 
 
 def dof_reference_coords(tdim, degree):
@@ -211,6 +254,22 @@ def dof_reference_coords(tdim, degree):
         edges = [(0, 1)] if tdim == 1 else _EDGE_VERTICES[tdim]
         mids = np.array([(verts[a] + verts[b]) / 2 for a, b in edges])
         return np.concatenate([verts, mids], axis=0)
+    if degree == 3:
+        edges = [(0, 1)] if tdim == 1 else _EDGE_VERTICES[tdim]
+        epts = []
+        for a, b in edges:
+            epts.append((2 * verts[a] + verts[b]) / 3.0)
+            epts.append((verts[a] + 2 * verts[b]) / 3.0)
+        parts = [verts, np.array(epts)]
+        if tdim == 3:
+            faces = [tuple(v for v in range(4) if v != f) for f in range(4)]
+            parts.append(
+                np.array([(verts[a] + verts[b] + verts[c]) / 3.0
+                          for a, b, c in faces])
+            )
+        elif tdim == 2:
+            parts.append(verts.mean(axis=0, keepdims=True))
+        return np.concatenate(parts, axis=0)
     raise ValueError(degree)
 
 

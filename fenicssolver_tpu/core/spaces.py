@@ -113,8 +113,48 @@ class FunctionSpace(_SpaceBase):
                 ev = mesh.edges()
                 edge_mid = 0.5 * (mesh.coords[ev[:, 0]] + mesh.coords[ev[:, 1]])
                 self.dof_coords = np.concatenate([mesh.coords, edge_mid], axis=0)
+            elif self.degree == 3:
+                # dofs: [vertices | 2 per edge (near lower vertex first —
+                # cell vertices are sorted ascending, so local edge (a, b)
+                # orientation is globally consistent and no flip table is
+                # needed) | face bubble (3D) / cell bubble (2D/1D)]
+                nv = mesh.num_vertices()
+                nc = mesh.num_cells()
+                if tdim == 1:
+                    ne = nc
+                    ce = np.arange(nc, dtype=np.int64)[:, None]
+                    ev = mesh.cells_array
+                    bub = np.zeros((nc, 0), dtype=np.int64)
+                    nb = 0
+                    bub_coords = np.zeros((0, mesh.gdim))
+                else:
+                    ce = mesh.cell_edges()
+                    ne = mesh.num_edges()
+                    ev = mesh.edges()
+                    if tdim == 3:
+                        bub = mesh.cell_facets().astype(np.int64)
+                        nb = mesh.num_facets()
+                        fverts = mesh.facets()
+                        bub_coords = mesh.coords[fverts].mean(axis=1)
+                    else:
+                        bub = np.arange(nc, dtype=np.int64)[:, None]
+                        nb = nc
+                        bub_coords = mesh.coords[mesh.cells_array].mean(axis=1)
+                edge_pair = np.stack(
+                    [nv + 2 * ce, nv + 2 * ce + 1], axis=2
+                ).reshape(len(ce), -1)
+                self.cell_dofs = np.concatenate(
+                    [mesh.cells_array, edge_pair, nv + 2 * ne + bub], axis=1
+                ).astype(np.int32)
+                self.ndof = nv + 2 * ne + nb
+                e3 = np.empty((2 * ne, mesh.gdim))
+                e3[0::2] = (2 * mesh.coords[ev[:, 0]] + mesh.coords[ev[:, 1]]) / 3.0
+                e3[1::2] = (mesh.coords[ev[:, 0]] + 2 * mesh.coords[ev[:, 1]]) / 3.0
+                self.dof_coords = np.concatenate(
+                    [mesh.coords, e3, bub_coords], axis=0
+                )
             else:
-                raise ValueError("only P1/P2 CG supported")
+                raise ValueError("only P1/P2/P3 CG supported")
         else:  # DG
             nc = mesh.num_cells()
             if self.degree == 0:
@@ -173,11 +213,12 @@ class FunctionSpace(_SpaceBase):
 
     # -- boundary/facet dofs ---------------------------------------------------
     def facet_dofs(self, facet_ids):
-        """All dofs living on the given facets (vertices + facet edges for P2)."""
+        """All dofs living on the given facets (vertices + facet-edge dofs
+        for P2/P3 + the facet bubble for 3D P3)."""
         mesh = self.mesh
         fv = mesh.facets()[facet_ids]
         dofs = [np.unique(fv.ravel())]
-        if self.family == "CG" and self.degree == 2 and mesh.tdim >= 2:
+        if self.family == "CG" and self.degree >= 2 and mesh.tdim >= 2:
             edge_lookup = self._edge_lookup()
             nvert = fv.shape[1]
             eids = []
@@ -188,8 +229,17 @@ class FunctionSpace(_SpaceBase):
                         axis=1,
                     )
                     eids.append(edge_lookup(key))
-            edofs = mesh.num_vertices() + np.unique(np.concatenate(eids))
-            dofs.append(edofs)
+            eu = np.unique(np.concatenate(eids))
+            nv = mesh.num_vertices()
+            if self.degree == 2:
+                dofs.append(nv + eu)
+            else:  # P3: two dofs per edge + 3D facet bubble
+                dofs.append(np.stack([nv + 2 * eu, nv + 2 * eu + 1], 1).ravel())
+                if mesh.tdim == 3:
+                    dofs.append(
+                        nv + 2 * mesh.num_edges()
+                        + np.asarray(facet_ids, dtype=np.int64)
+                    )
         if self.family == "DG":
             raise NotImplementedError("Dirichlet on DG handled weakly")
         return np.unique(np.concatenate(dofs)).astype(np.int32)

@@ -75,3 +75,71 @@ def test_facet_quadrature_in_cell(tdim):
     # facet k>0 is opposite vertex k: plane xi_{k-1} = 0
     for lf in range(1, tdim + 1):
         assert np.allclose(cell_pts[lf][:, lf - 1], 0.0)
+
+
+def test_p3_nodality_and_partition_of_unity():
+    """P3 Lagrange basis (degree 3, ROADMAP capability 9): 1 at its own
+    node, 0 at the others; sums to 1 with zero gradient sum."""
+    for tdim in (1, 2, 3):
+        ref = elements.dof_reference_coords(tdim, 3)
+        assert len(ref) == elements.num_dofs(tdim, 3)
+        phi, dphi = elements.tabulate(tdim, 3, ref)
+        assert np.abs(phi - np.eye(len(ref))).max() < 1e-12
+        qp, _ = elements.quadrature(tdim, 5)
+        phiq, dphiq = elements.tabulate(tdim, 3, qp)
+        assert np.abs(phiq.sum(axis=1) - 1).max() < 1e-12
+        assert np.abs(dphiq.sum(axis=1)).max() < 1e-12
+
+
+def test_p3_cubic_exactness_3d():
+    """A cubic solution is reproduced to machine precision on a P3 space —
+    the strongest check of edge-pair orientation and the face-bubble
+    dofmap (global continuity would break by O(1) if either were off)."""
+    import jax.numpy as jnp
+
+    from fenicssolver_tpu.core import FunctionSpace, UnitCubeMesh
+    from fenicssolver_tpu.la import krylov
+    from fenicssolver_tpu.ops import assembly, geometry
+
+    mesh = UnitCubeMesh(3, 3, 3)
+    V = FunctionSpace(mesh, "CG", 3)
+
+    def u_ex(x):
+        return x[:, 0] ** 3 + 2 * x[:, 1] ** 3 - x[:, 2] ** 3
+
+    def f_ex(x):  # f = -lap u
+        return -(6 * x[:, 0] + 12 * x[:, 1] - 6 * x[:, 2])
+
+    qdeg = 6
+    tab = geometry.basis_tables(mesh.tdim, 3, qdeg)
+    ctx = geometry.build_cell_context(V, qdeg)
+    phi = jnp.asarray(tab.phi)
+    dphi = jnp.asarray(tab.dphi)
+    qw = jnp.asarray(tab.qw)
+    qpx = np.asarray(ctx.qpx)
+    fq = jnp.asarray(f_ex(qpx.reshape(-1, 3)).reshape(qpx.shape[:2]))
+
+    def kernel(ue, geom, aux):
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        g = geometry.interp_grad(dphig, ue)
+        r = jnp.einsum("q,qg,qig->i", qw, g, dphig) * geom.detJ
+        return r - jnp.einsum("q,q,qi->i", qw, aux["f"], phi) * geom.detJ
+
+    form = assembly.Form(space=V)
+    form.cell_terms.append(
+        assembly.CellTerm(kernel=kernel, ctx=ctx, aux={"f": fq})
+    )
+    form.finalize()
+    A, b = assembly.assemble_linear_system(form)
+    bd = V.facet_dofs(mesh.exterior_facets())
+    dd = assembly.DirichletData(V.ndof)
+    dd.add(bd, u_ex(V.dof_coords[bd]))
+    dd.finalize()
+    op = assembly.constrained_operator(A.matvec, dd.free_mask)
+    rhs = assembly.constrained_rhs(A.matvec, b, dd.free_mask, dd.u_bc)
+    diag = dd.free_mask * A.diagonal() + (1 - dd.free_mask)
+    x, _, _ = krylov.cg(
+        op, rhs, M=krylov.jacobi_preconditioner(diag), tol=1e-14, maxiter=8000
+    )
+    err = np.abs(np.asarray(x) - u_ex(V.dof_coords)).max()
+    assert err < 1e-11, err

@@ -390,3 +390,14 @@ def test_coupled_htc_advective_matches_segregated():
         T_seg - 300
     )
     assert rise_err < 0.05, rise_err
+
+
+def test_taylor_hood_p3_p2_poiseuille():
+    """fe_degree = 2 -> P3 velocity / P2 pressure Taylor-Hood (the P3
+    element family, ROADMAP capability 9): exact Poiseuille."""
+    s = channel_settings(nx=6, ny=6)
+    s["fe_degree"] = 2
+    solver = CoupledNavierStokesSolver(s)
+    assert solver.vel_degree == 3
+    up = solver.solve()
+    check_poiseuille(solver, up, 1e-9, 1e-8)
