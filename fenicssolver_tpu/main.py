@@ -62,6 +62,10 @@ def main(case_input):
         from .solvers.large_deformation import LargeDeformationSolver
 
         solver = LargeDeformationSolver(settings)
+    elif solver_name == "PlasticitySolver":
+        from .solvers.plasticity import PlasticitySolver
+
+        solver = PlasticitySolver(settings)
     elif solver_name == "FSISolver":
         from .solvers.fsi import FSISolver
 
