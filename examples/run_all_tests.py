@@ -19,6 +19,7 @@ EXAMPLES = [
     "test_cfd_solver.py",
     "test_flow_pass_cylinder.py",
     "test_fsi.py",
+    "test_plasticity.py",
 ]
 
 here = os.path.dirname(os.path.abspath(__file__))
