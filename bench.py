@@ -21,6 +21,12 @@ Two device formats (BENCH_FORMAT env):
 Both are preconditioned by the same geometric-multigrid V-cycle
 (``la/gmg.py`` — mesh-independent ~7 iterations).
 
+A VECTOR P1 elasticity variant (ROADMAP perf item 3) runs after the
+primary metric when time permits (BENCH_ELAS=0 to disable): slice-add
+stencil assembly from per-cube (mu, lam) material fields, 3x3-block
+stencil PCG, vector geometric multigrid (``la/gmg_elastic.py``) — recorded
+under detail["elasticity3d"] with its own CPU mirror baseline.
+
 Baseline: the same problem solved with the SAME algorithm (same format,
 same GMG-PCG) in numpy/scipy on CPU — the stand-in for the reference's
 FEniCS/PETSc-with-AMG stack, which is not installed in this image
@@ -570,6 +576,264 @@ def cpu_baseline(n, tol, maxiter):
     return ndof, dt, niter[0], xf
 
 
+def tpu_run_elasticity(n, tol, maxiter):
+    """Vector P1 elasticity fast path at 3 (n+1)^3 dofs: slice-add stencil
+    assembly from per-cube (mu, lam) MATERIAL FIELDS (variable-coefficient
+    path, ~120 shift-multiply-adds, no scatters), PCG on the 15-offset
+    3x3-block stencil operator, vector geometric multigrid preconditioner
+    (``la/gmg_elastic.py`` — geometric coarse spaces carry the rigid-body
+    modes, replacing the reference's petsc_amg + build_nullspace,
+    ``SolverBase.py:643-705``)."""
+    import jax
+    import jax.numpy as jnp
+    from fenicssolver_tpu.la import gmg_elastic
+    from fenicssolver_tpu.la.gmg import CENTER_IDX, OFFSETS_T, _shift
+    from fenicssolver_tpu.ops.structured import (
+        TET_PATHS,
+        box_tet_geometry,
+        elasticity_stencil_tables,
+    )
+
+    t_setup0 = time.perf_counter()
+    N = n + 1
+    ndof = 3 * N**3
+    MU, LAM = 1.0, 1.5
+    mu3 = jnp.full((n, n, n), MU, dtype=jnp.float32)
+    lam3 = jnp.full((n, n, n), LAM, dtype=jnp.float32)
+    groups = elasticity_stencil_tables(n, n, n)
+    Jinv1, det1 = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
+                                   dtype=np.float64)
+    det6 = np.asarray(det1, dtype=np.float64)  # (6,) per-type |detJ|
+    free3_np = np.zeros((N, N, N), dtype=np.float32)
+    free3_np[1:-1, 1:-1, 1:-1] = 1.0
+    free3 = jnp.asarray(free3_np)
+    t_gmg = time.perf_counter()
+    G = gmg_elastic.build_gmg_elastic(n, n, n, MU, LAM)
+    _log(f"gmg-elastic setup {time.perf_counter() - t_gmg:.1f}s "
+         f"(levels={len(G.levels)})")
+    Bmu_c = [jnp.asarray(Bmu.astype(np.float32)) for _, _, Bmu, _ in groups]
+    Blam_c = [jnp.asarray(Blam.astype(np.float32)) for _, _, _, Blam in groups]
+
+    @jax.jit
+    def step(mu3, lam3):
+        # assembly: grouped slice-multiply-adds of the material fields into
+        # per-vertex (15, 3, 3) stencil coefficient blocks
+        coef = jnp.zeros((len(OFFSETS_T), 3, 3, N, N, N), dtype=jnp.float32)
+        for gi, (oi, ca, _, _) in enumerate(groups):
+            blk = (mu3[None, None] * Bmu_c[gi][:, :, None, None, None]
+                   + lam3[None, None] * Blam_c[gi][:, :, None, None, None])
+            coef = coef.at[
+                oi, :, :, ca[0] : ca[0] + n, ca[1] : ca[1] + n,
+                ca[2] : ca[2] + n,
+            ].add(blk)
+        # rhs: body force (0, 0, -1) -> b_z[v] = -sum detJ/24 over incident
+        # tets (same slice adds as the scalar path)
+        bz = jnp.zeros((N, N, N), dtype=jnp.float32)
+        for t, path in enumerate(TET_PATHS):
+            for ca in path:
+                bz = bz.at[
+                    ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
+                ].add(jnp.float32(det6[t] / 24.0))
+        b = jnp.stack([jnp.zeros_like(bz), jnp.zeros_like(bz), -bz])
+
+        def apply3(x):
+            # unrolled 3x3 block FMAs (einsum on the tiny axes would hit
+            # the 32x tile-padding blowup; see MEMORY)
+            def add(acc, oi, xs):
+                for i in range(3):
+                    t = (coef[oi, i, 0] * xs[0] + coef[oi, i, 1] * xs[1]
+                         + coef[oi, i, 2] * xs[2])
+                    acc[i] = t if acc[i] is None else acc[i] + t
+                return acc
+
+            acc = add([None] * 3, CENTER_IDX, [x[0], x[1], x[2]])
+            for oi, d in enumerate(OFFSETS_T):
+                if oi == CENTER_IDX:
+                    continue
+                xs = [_shift(x[j], d) for j in range(3)]
+                acc = add(acc, oi, xs)
+            return jnp.stack(acc)
+
+        def matvec(x):
+            return free3 * apply3(free3 * x) + (1 - free3) * x
+
+        rhs = free3 * b
+
+        def M(r):
+            # gmg_elastic.vcycle expects node-major (v, comp) flat order
+            z = gmg_elastic.vcycle(
+                G, jnp.moveaxis(r, 0, -1).ravel()
+            )
+            return jnp.moveaxis(z.reshape((N, N, N, 3)), -1, 0)
+
+        def dot(a, c):
+            return jnp.vdot(a.ravel(), c.ravel())
+
+        r = rhs
+        z = M(r)
+        p = z
+        rz = dot(r, z)
+        bnorm = jnp.sqrt(dot(rhs, rhs))
+
+        def cond(st):
+            x, r, z, p, rz, i = st
+            return (jnp.sqrt(dot(r, r)) > tol * bnorm) & (i < maxiter)
+
+        def body(st):
+            x, r, z, p, rz, i = st
+            Ap = matvec(p)
+            alpha = rz / dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = dot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, i + 1)
+
+        x0 = jnp.zeros((3, N, N, N), dtype=jnp.float32)
+        x, r, *_, iters = jax.lax.while_loop(
+            cond, body, (x0, r, z, p, rz, jnp.array(0))
+        )
+        res = jnp.sqrt(dot(r, r)) / bnorm
+        return x, iters, res
+
+    setup_s = time.perf_counter() - t_setup0
+    t_c = time.perf_counter()
+    x, iters, res = step(mu3, lam3)
+    x.block_until_ready()
+    _log(f"elasticity compile+first run {time.perf_counter() - t_c:.1f}s "
+         f"(iters={int(iters)}, res={float(res):.2e})")
+    reps = 3
+    import jax as _jax
+
+    mus = [_jax.device_put(mu3 * (1.0 + 1e-6 * (i + 1))) for i in range(reps)]
+    _jax.block_until_ready(mus)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        x, iters, res = step(mus[i], lam3)
+        x.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return ndof, dt, int(iters), float(res), np.asarray(x).ravel(), setup_s
+
+
+def cpu_baseline_elasticity(n, tol, maxiter):
+    """numpy mirror of the elasticity fast path (same algorithm)."""
+    import scipy.sparse.linalg as spl
+
+    from fenicssolver_tpu.la.gmg_elastic import elastic_box_stencil
+    from fenicssolver_tpu.ops.structured import (
+        TET_PATHS,
+        box_tet_geometry,
+        elasticity_stencil_tables,
+    )
+
+    N = n + 1
+    ndof = 3 * N**3
+    MU, LAM = 1.0, 1.5
+    t0 = time.perf_counter()
+    mu3 = np.full((n, n, n), MU)
+    lam3 = np.full((n, n, n), LAM)
+    coef = np.zeros((15, 3, 3, N, N, N))
+    for oi, ca, Bmu, Blam in elasticity_stencil_tables(n, n, n):
+        coef[oi, :, :, ca[0]:ca[0] + n, ca[1]:ca[1] + n, ca[2]:ca[2] + n] += (
+            mu3[None, None] * Bmu[:, :, None, None, None]
+            + lam3[None, None] * Blam[:, :, None, None, None]
+        )
+    _, det1 = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
+                               dtype=np.float64)
+    bz = np.zeros((N, N, N))
+    for t, path in enumerate(TET_PATHS):
+        for ca in path:
+            bz[ca[0]:ca[0] + n, ca[1]:ca[1] + n, ca[2]:ca[2] + n] += (
+                det1[t] / 24.0
+            )
+    b = np.stack([np.zeros_like(bz), np.zeros_like(bz), -bz])
+    free3 = np.zeros((N, N, N))
+    free3[1:-1, 1:-1, 1:-1] = 1.0
+    gm = _NumpyGMG(n)  # reuse its shift/transfer helpers
+
+    def apply3(x):
+        y = np.zeros_like(x)
+        for oi, d in enumerate(gm.OFFSETS):
+            xs = (x if oi == gm.CENTER
+                  else np.stack([gm._shift(x[j], d) for j in range(3)]))
+            y += np.einsum("ijabc,jabc->iabc", coef[oi], xs)
+        return y
+
+    # vector GMG mirror: constant taps per level, block-Jacobi smoothing
+    levels = []
+    nn, h = n, 1.0 / n
+    fr = free3.copy()
+    while nn % 2 == 0 and nn >= 4 and 3 * (nn + 1) ** 3 > 800:
+        taps = elastic_box_stencil(h, h, h, MU, LAM)
+        levels.append((taps, np.linalg.inv(taps[gm.CENTER]), fr))
+        nn //= 2
+        h *= 2
+        fr = fr[::2, ::2, ::2]
+    taps_c = elastic_box_stencil(h, h, h, MU, LAM)
+    from fenicssolver_tpu.ops.structured import LatticePattern
+
+    pat = LatticePattern(nn, nn, nn)
+    rows = np.repeat(np.arange(pat.n), np.diff(pat.indptr))
+    oi_of = np.nonzero(pat._present)[1]
+    D = np.zeros((3 * pat.n, 3 * pat.n))
+    for e in range(len(rows)):
+        D[3 * rows[e]: 3 * rows[e] + 3,
+          3 * pat.indices[e]: 3 * pat.indices[e] + 3] = taps_c[oi_of[e]]
+    frv = np.repeat(fr.ravel(), 3)
+    D = frv[:, None] * D * frv[None, :] + np.diag(1.0 - frv)
+    coarse_inv = np.linalg.inv(D)
+
+    def lvl_apply(x, taps):
+        y = np.zeros_like(x)
+        for oi, d in enumerate(gm.OFFSETS):
+            xs = (x if oi == gm.CENTER
+                  else np.stack([gm._shift(x[j], d) for j in range(3)]))
+            y += np.einsum("ij,jabc->iabc", taps[oi], xs)
+        return y
+
+    om, nu = 0.6, 2
+
+    def cycle(li, bb):
+        if li == len(levels):
+            z = coarse_inv @ np.moveaxis(bb, 0, -1).ravel()
+            return np.moveaxis(z.reshape(bb.shape[1:] + (3,)), -1, 0)
+        taps, invC, frl = levels[li]
+        A = lambda x: frl * lvl_apply(frl * x, taps)
+        sm = lambda r: om * np.einsum("ij,jabc->iabc", invC, r)
+        x = sm(frl * bb)
+        for _ in range(nu - 1):
+            x = x + sm(frl * (bb - A(x)))
+        r = frl * (bb - A(x))
+        rc = np.stack([gm._restrict(r[j]) for j in range(3)])
+        ec = cycle(li + 1, rc)
+        x = x + frl * np.stack([gm._prolong(ec[j]) for j in range(3)])
+        for _ in range(nu):
+            x = x + sm(frl * (bb - A(x)))
+        return x
+
+    def M(rf):
+        r = np.moveaxis(rf.reshape(N, N, N, 3), -1, 0)
+        z = cycle(0, levels[0][2] * r) if levels else coarse_inv @ rf
+        return np.moveaxis(z, 0, -1).ravel() if levels else z
+
+    def matvec(xf):
+        x = np.moveaxis(xf.reshape(N, N, N, 3), -1, 0)
+        y = free3 * apply3(free3 * x) + (1 - free3) * x
+        return np.moveaxis(y, 0, -1).ravel()
+
+    rhs = np.moveaxis(free3 * b, 0, -1).ravel()
+    Aop = spl.LinearOperator((ndof, ndof), matvec=matvec)
+    Mop = spl.LinearOperator((ndof, ndof), matvec=M)
+    niter = [0]
+    xf, info = spl.cg(
+        Aop, rhs, rtol=tol, maxiter=maxiter, M=Mop,
+        callback=lambda xk: niter.__setitem__(0, niter[0] + 1),
+    )
+    dt = time.perf_counter() - t0
+    return ndof, dt, niter[0], xf
+
+
 def cpu_baseline_stencil(n, tol, maxiter):
     """numpy mirror of the stencil fast path: same slice-add assembly, same
     masked stencil operator, same GMG V-cycle preconditioner."""
@@ -677,10 +941,43 @@ def _run_tpu_with_fallback(sizes, tol, timeout_s=540):
     return None, None
 
 
+def _run_elas_child(n, tol, timeout_s=420):
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--tpu-child-elas", str(n)],
+            capture_output=True, timeout=timeout_s, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(out.stderr)
+        for line in out.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                return json.loads(line[len("CHILD_RESULT "):])
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"elasticity child n={n} timed out\n")
+    return None
+
+
 def main():
+    globals()["_MAIN_T0"] = time.perf_counter()
     tol = 1e-6
     if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child":
         _child_main(int(sys.argv[2]), tol)
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child-elas":
+        n = int(sys.argv[2])
+        ndof, dt, iters, res, x, setup_s = tpu_run_elasticity(
+            n, tol, maxiter=3000
+        )
+        print(
+            "CHILD_RESULT "
+            + json.dumps(
+                dict(ndof=ndof, dt=dt, iters=iters, res=res,
+                     umax=float(np.abs(x).max()), setup_s=round(setup_s, 1))
+            )
+        )
         return
 
     fmt = os.environ.get("BENCH_FORMAT", "stencil")
@@ -711,6 +1008,37 @@ def main():
     cpu_run = cpu_baseline_stencil if fmt == "stencil" else cpu_baseline
     ndof_c, dt_c, iters_c, x_c = cpu_run(n_cpu, tol, maxiter=3000)
     cpu_dofs_per_sec = ndof_c / dt_c
+
+    # vector-elasticity variant (ROADMAP perf item 3): recorded in detail;
+    # skipped when the tunnel is slow so the primary metric always lands
+    elas = None
+    t_main0 = globals().get("_MAIN_T0", time.perf_counter())
+    if (
+        os.environ.get("BENCH_ELAS", "1") == "1"
+        and fmt == "stencil"
+        and time.perf_counter() - t_main0 < 600
+    ):
+        n_e = int(os.environ.get("BENCH_N_ELAS", "80"))  # 3*81^3 = 1.59M dofs
+        d_e = _run_elas_child(n_e, tol)
+        if d_e is not None:
+            ndof_ce, dt_ce, it_ce, x_ce = cpu_baseline_elasticity(
+                int(os.environ.get("BENCH_N_ELAS_CPU", "40")), tol,
+                maxiter=3000,
+            )
+            elas = {
+                "metric": "elasticity3d_p1_assembly+pcg_throughput",
+                "dofs_per_sec": round(d_e["ndof"] / d_e["dt"], 1),
+                "vs_baseline": round(
+                    (d_e["ndof"] / d_e["dt"]) / (ndof_ce / dt_ce), 3
+                ),
+                "tpu": d_e,
+                "cpu_numpy_gmg": {
+                    "ndof": ndof_ce,
+                    "wall_s": round(dt_ce, 4),
+                    "pcg_iters": it_ce,
+                    "u_max": float(np.abs(x_ce).max()),
+                },
+            }
 
     # correctness spot check: both solve the same PDE; compare the solution
     # max scale-invariantly (u_max ~ 0.0562 for the unit cube with f = 1)
@@ -743,6 +1071,8 @@ def main():
             },
         },
     }
+    if elas is not None:
+        result["detail"]["elasticity3d"] = elas
     if "note" in d:
         result["detail"]["note"] = d["note"]
     print(json.dumps(result))

@@ -1,0 +1,164 @@
+"""Geometric multigrid for P1 VECTOR elasticity on BoxMesh lattices.
+
+The vector companion to ``la/gmg.py`` (scalar diffusion): on Kuhn lattices
+the P1 elasticity operator is a 15-offset stencil of constant 3x3 blocks
+(for constant Lame parameters), so
+
+- operator apply: 15 shift ops x (3x3) block contraction — pure slicing,
+- smoother: damped block-Jacobi with the inverse of the constant 3x3
+  center block,
+- transfers: the scalar separable linear interpolation per component
+  (geometric coarse spaces contain the rigid-body modes exactly, which is
+  why GMG needs no near-nullspace machinery — the reference delegates the
+  same job to ``petsc_amg`` + ``build_nullspace``, SolverBase.py:643-705),
+- coarse level: dense inverse of the masked operator.
+
+Used by the bench's vector-elasticity fast path and validated against the
+generic unstructured assembly in ``tests/test_gmg.py``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.structured import LatticePattern, elasticity_stencil_tables
+from .gmg import CENTER_IDX, OFFSETS_T, _shift, prolong3, restrict3
+
+
+def elastic_box_stencil(hx, hy, hz, mu, lam):
+    """(15, 3, 3) constant stencil blocks of P1 elasticity on the lattice."""
+    taps = np.zeros((len(OFFSETS_T), 3, 3))
+    for oi, ca, Bmu, Blam in elasticity_stencil_tables(
+        1, 1, 1, extent=(hx, hy, hz)
+    ):
+        taps[oi] += mu * Bmu + lam * Blam
+    return taps
+
+
+class GMGElasticLevel(NamedTuple):
+    coefs: jnp.ndarray  # (15, 3, 3)
+    free3: jnp.ndarray  # (Nx, Ny, Nz)
+    inv_center: jnp.ndarray  # (3, 3)
+
+
+class GMGElasticData(NamedTuple):
+    levels: tuple
+    coarse_inv: jnp.ndarray
+    shape3: tuple
+    nu: int = 2
+    omega: float = 0.6
+
+
+def stencil_apply_vec(x, coefs):
+    """x (3, Nx, Ny, Nz), coefs (15, 3, 3) -> y (3, Nx, Ny, Nz).
+
+    The 3x3 block contractions are UNROLLED into scalar-coefficient FMAs:
+    an einsum over the size-3 axes would lower to dot_general with the tiny
+    dims on (sublane, lane) — the 32x tile-padding blowup that wedges the
+    TPU (see MEMORY / CLAUDE.md perf rules)."""
+
+    def add(acc, C, xs):
+        for i in range(3):
+            t = C[i, 0] * xs[0] + C[i, 1] * xs[1] + C[i, 2] * xs[2]
+            acc[i] = t if acc[i] is None else acc[i] + t
+        return acc
+
+    acc = add([None] * 3, coefs[CENTER_IDX], [x[0], x[1], x[2]])
+    for oi, d in enumerate(OFFSETS_T):
+        if oi == CENTER_IDX:
+            continue
+        xs = [_shift(x[j], d) for j in range(3)]
+        acc = add(acc, coefs[oi], xs)
+    return jnp.stack(acc)
+
+
+def build_gmg_elastic(
+    nx, ny, nz, mu, lam, extent=(1.0, 1.0, 1.0), free3=None,
+    coarse_max=800, nu=2, omega=0.6, dtype=None,
+):
+    dtype = dtype or jnp.zeros(()).dtype
+    n = np.array([nx, ny, nz])
+    h = np.array(extent, dtype=np.float64) / n
+    if free3 is None:
+        free3 = np.zeros(tuple(n + 1), dtype=bool)
+        free3[1:-1, 1:-1, 1:-1] = True
+    else:
+        free3 = np.asarray(free3, dtype=bool)
+    shape3 = tuple(int(v) for v in n + 1)
+    levels = []
+    while (n % 2 == 0).all() and (n >= 4).all() and 3 * int(
+        np.prod(n + 1)
+    ) > coarse_max:
+        taps = elastic_box_stencil(*h, mu, lam)
+        levels.append(
+            GMGElasticLevel(
+                coefs=jnp.asarray(taps, dtype=dtype),
+                free3=jnp.asarray(free3, dtype=dtype),
+                inv_center=jnp.asarray(
+                    np.linalg.inv(taps[CENTER_IDX]), dtype=dtype
+                ),
+            )
+        )
+        n = n // 2
+        h = h * 2
+        free3 = free3[::2, ::2, ::2]
+    taps = elastic_box_stencil(*h, mu, lam)
+    pat = LatticePattern(*(int(v) for v in n))
+    n3 = pat.n
+    rows = np.repeat(np.arange(n3), np.diff(pat.indptr))
+    # per-entry offset index: rank within the row's present offsets
+    oi_of_entry = np.nonzero(pat._present)[1]
+    D = np.zeros((3 * n3, 3 * n3))
+    for e in range(len(rows)):
+        r, c, oi = rows[e], pat.indices[e], oi_of_entry[e]
+        D[3 * r : 3 * r + 3, 3 * c : 3 * c + 3] = taps[oi]
+    fr = np.repeat(free3.ravel().astype(np.float64), 3)
+    D = fr[:, None] * D * fr[None, :] + np.diag(1.0 - fr)
+    coarse_inv = jnp.asarray(np.linalg.inv(D), dtype=dtype)
+    return GMGElasticData(
+        levels=tuple(levels), coarse_inv=coarse_inv, shape3=shape3,
+        nu=nu, omega=omega,
+    )
+
+
+def _a_free(lv, x):
+    return lv.free3 * stencil_apply_vec(lv.free3 * x, lv.coefs)
+
+
+def _smooth_inc(lv, om, r):
+    C = lv.inv_center  # (3, 3): unrolled for the same tile-padding reason
+    return om * jnp.stack(
+        [C[i, 0] * r[0] + C[i, 1] * r[1] + C[i, 2] * r[2] for i in range(3)]
+    )
+
+
+def _cycle(gmg, li, b):
+    if li == len(gmg.levels):
+        z = gmg.coarse_inv @ jnp.moveaxis(b, 0, -1).ravel()
+        z3 = z.reshape(b.shape[1:] + (3,))
+        return jnp.moveaxis(z3, -1, 0)
+    lv = gmg.levels[li]
+    om = gmg.omega
+    x = _smooth_inc(lv, om, lv.free3 * b)
+    for _ in range(gmg.nu - 1):
+        x = x + _smooth_inc(lv, om, lv.free3 * (b - _a_free(lv, x)))
+    r = lv.free3 * (b - _a_free(lv, x))
+    rc = jnp.stack([restrict3(r[j]) for j in range(3)])
+    ec = _cycle(gmg, li + 1, rc)
+    x = x + lv.free3 * jnp.stack([prolong3(ec[j]) for j in range(3)])
+    for _ in range(gmg.nu):
+        x = x + _smooth_inc(lv, om, lv.free3 * (b - _a_free(lv, x)))
+    return x
+
+
+def vcycle(gmg, r_flat):
+    """One V(nu, nu) cycle on the flat (3 * N^3,) vector (node-major
+    (v, comp) dof order, i.e. reshape (N, N, N, 3))."""
+    b = jnp.moveaxis(r_flat.reshape(gmg.shape3 + (3,)), -1, 0)
+    if not gmg.levels:
+        return gmg.coarse_inv @ r_flat
+    z = _cycle(gmg, 0, gmg.levels[0].free3 * b)
+    return jnp.moveaxis(z, 0, -1).ravel()

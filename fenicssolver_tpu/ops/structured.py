@@ -147,6 +147,43 @@ def stencil_entry_table():
     return out
 
 
+def elasticity_stencil_tables(nx, ny, nz, extent=(1.0, 1.0, 1.0)):
+    """Grouped slice-add tables for VECTOR P1 elasticity stencil assembly.
+
+    For each distinct (offset, row-corner) pair, sums the per-type constant
+    element blocks over every (tet type, a, b) entry mapping there:
+
+        Kmu[a,i,b,j]  = V_t (delta_ij g_a.g_b + g_a[j] g_b[i])   [2 mu eps:eps]
+        Klam[a,i,b,j] = V_t g_a[i] g_b[j]                        [lam div div]
+
+    so device assembly is  coef[oi,:,:,slice] += mu3*Bmu + lam3*Blam  per
+    group — ~120 slice-multiply-adds total for variable (mu, lam) fields,
+    zero scatters.  Returns a list of (oi, ca, Bmu (3,3), Blam (3,3))."""
+    hx, hy, hz = extent[0] / nx, extent[1] / ny, extent[2] / nz
+    h = np.array([hx, hy, hz])
+    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    groups = {}
+    for t, path in enumerate(TET_PATHS):
+        X = np.array(path, dtype=np.float64) * h
+        J = (X[1:] - X[:1]).T
+        vol = abs(np.linalg.det(J)) / 6.0
+        g = gref @ np.linalg.inv(J)  # (4, 3) physical gradients
+        for a in range(4):
+            ca = np.array(path[a])
+            for b in range(4):
+                o = np.array(path[b]) - ca
+                oi = int(np.nonzero((OFFSETS == o).all(axis=1))[0][0])
+                key = (oi, tuple(int(x) for x in ca))
+                Bmu, Blam = groups.setdefault(
+                    key, (np.zeros((3, 3)), np.zeros((3, 3)))
+                )
+                gab = float(g[a] @ g[b])
+                Bmu += vol * (gab * np.eye(3) + np.outer(g[b], g[a]))
+                Blam += vol * np.outer(g[a], g[b])
+    return [(oi, ca, Bmu, Blam) for (oi, ca), (Bmu, Blam) in
+            sorted(groups.items())]
+
+
 def box_tet_geometry(nx, ny, nz, extent=(1.0, 1.0, 1.0), dtype=np.float32):
     """Per-cell (Jinv, detJ) for BoxMesh without per-cell linear algebra.
 
