@@ -648,6 +648,29 @@ class SolverBase:
         op = assembly.constrained_operator(A.matvec, free)
         diag = free * A.diagonal() + (1.0 - free)
         M = krylov.jacobi_preconditioner(diag)
+        if sp.get("preconditioner") == "amg":
+            # smoothed-aggregation AMG V-cycle as the preconditioner for
+            # ANY solver's linear solves (the reference only wires petsc_amg
+            # into the 3D-elasticity path, SolverBase.py:643-672; here a
+            # JSON case selects it with solver_parameters.preconditioner)
+            from ..la.amg import AMGPreconditioner, rigid_body_modes
+
+            nullspace = None
+            if isinstance(self.function_space, VectorFunctionSpace):
+                nullspace = rigid_body_modes(
+                    self.function_space.scalar_space.dof_coords,
+                    self.function_space.vdim,
+                )
+            try:
+                M = AMGPreconditioner(
+                    assembly.constrain_csr(A, free).to_scipy(),
+                    nullspace=nullspace,
+                    free_mask=np.asarray(free) > 0.5,
+                )
+            except Exception as e:  # pragma: no cover - degenerate setup
+                self.logger.warning(
+                    "AMG setup failed (%s); Jacobi fallback", e
+                )
         tol = sp.get("relative_tolerance", 1e-8)
         # maximum_iterations maps straight onto the Krylov cap (the
         # reference feeds it to the dolfin solver parameters,

@@ -119,3 +119,44 @@ def test_rigid_body_modes_in_kernel():
     KB = np.stack([np.asarray(A.matvec(jnp.asarray(B[:, j]))) for j in range(6)])
     scale = float(jnp.abs(A.data).max())
     assert np.abs(KB).max() < 1e-8 * scale
+
+
+def test_amg_routing_from_solver_parameters():
+    """solver_parameters.preconditioner = "amg" routes ANY solver's linear
+    solves through the SA-AMG V-cycle (the reference only wires petsc_amg
+    into 3D elasticity): same answer as Jacobi-PCG, far fewer iterations."""
+    from fenicssolver_tpu.core import FunctionSpace, UnitSquareMesh
+    from fenicssolver_tpu.solvers.scalar_transport import ScalarTransportSolver
+    from tests.test_heat_transfer import base_settings, make_bcs
+
+    mesh = UnitSquareMesh(40, 40)
+    Q = FunctionSpace(mesh, "CG", 1)
+
+    s = base_settings(Q, make_bcs())
+    serial = ScalarTransportSolver(s)
+    serial.material["conductivity"] = 0.6
+    # force the iterative path (DENSE_LIMIT covers this size by default)
+    import unittest.mock as mock
+
+    with mock.patch("fenicssolver_tpu.solvers.solver_base.DENSE_LIMIT", 500):
+        T_ref = serial.solve()
+
+    s2 = base_settings(Q, make_bcs())
+    s2["solver_settings"]["solver_parameters"]["preconditioner"] = "amg"
+    amg_solver = ScalarTransportSolver(s2)
+    amg_solver.material["conductivity"] = 0.6
+    built = []
+    orig_init = AMGPreconditioner.__init__
+
+    def counting_init(self, *a, **k):
+        built.append(1)
+        return orig_init(self, *a, **k)
+
+    with mock.patch("fenicssolver_tpu.solvers.solver_base.DENSE_LIMIT", 500), \
+            mock.patch.object(AMGPreconditioner, "__init__", counting_init):
+        T = amg_solver.solve()
+    assert built, "AMG preconditioner was never constructed"
+    err = np.linalg.norm(T.values - T_ref.values) / np.linalg.norm(
+        T_ref.values
+    )
+    assert err < 1e-7, err
