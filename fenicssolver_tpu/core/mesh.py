@@ -574,7 +574,14 @@ def BoxMesh(p0, p1, nx, ny, nz):
     ]
     all_tets = [np.stack([v[a], v[b], v[c], v[d]], axis=1) for a, b, c, d in tet_paths]
     cells = np.concatenate(all_tets, axis=0)
-    return Mesh(coords, cells)
+    mesh = Mesh(coords, cells)
+    # remember the lattice so structured fast paths (la/gmg.py stencil
+    # multigrid, ops/structured.py) can trigger without pattern detection
+    mesh.lattice_info = dict(
+        n=(nx, ny, nz), extent=(x1 - x0, y1 - y0, z1 - z0),
+        origin=(x0, y0, z0),
+    )
+    return mesh
 
 
 def UnitCubeMesh(nx, ny=None, nz=None):

@@ -648,7 +648,42 @@ class SolverBase:
         op = assembly.constrained_operator(A.matvec, free)
         diag = free * A.diagonal() + (1.0 - free)
         M = krylov.jacobi_preconditioner(diag)
-        if sp.get("preconditioner") == "amg":
+        if sp.get("preconditioner") == "gmg":
+            # geometric multigrid on BoxMesh lattices (the bench fast path,
+            # la/gmg.py) straight from a JSON case: scalar P1 only; the
+            # lattice metadata is stamped by BoxMesh/UnitCubeMesh
+            info = getattr(self.mesh, "lattice_info", None)
+            V = self.function_space
+            coarsenable = info is not None and (
+                all(nn % 2 == 0 for nn in info["n"])
+                or int(np.prod([nn + 1 for nn in info["n"]])) <= 800
+            )  # odd n cannot coarsen: the "coarse" dense solve would be huge
+            if (
+                spd
+                and coarsenable
+                and type(V) is FunctionSpace
+                and V.degree == 1
+                and V.family == "CG"
+            ):
+                from ..la import gmg as _gmg
+
+                key = (id(info), int(np.sum(np.asarray(free) > 0.5)))
+                cache = getattr(self, "_gmg_cache", None)
+                if cache is None or cache[0] != key:
+                    free3 = np.asarray(free).reshape(
+                        tuple(nn + 1 for nn in info["n"])
+                    )
+                    G = _gmg.build_gmg(
+                        *info["n"], extent=info["extent"], free3=free3 > 0.5
+                    )
+                    self._gmg_cache = (key, G)
+                M = _gmg.preconditioner(self._gmg_cache[1])
+            else:
+                self.logger.warning(
+                    "preconditioner=gmg needs a scalar P1 space on a "
+                    "BoxMesh lattice; falling back to Jacobi"
+                )
+        elif sp.get("preconditioner") == "amg":
             # smoothed-aggregation AMG V-cycle as the preconditioner for
             # ANY solver's linear solves (the reference only wires petsc_amg
             # into the 3D-elasticity path, SolverBase.py:643-672; here a

@@ -256,3 +256,48 @@ def test_elasticity_stencil_and_vector_gmg():
     err2 = np.linalg.norm(np.asarray(x2) - x_ref) / np.linalg.norm(x_ref)
     assert err2 < 1e-8, err2
     assert int(it) < 25, int(it)
+
+
+def test_gmg_routing_from_solver_parameters():
+    """preconditioner = "gmg" on a BoxMesh JSON-style case uses the
+    lattice multigrid from the solver layer (the bench fast path on the
+    actual solver surface), matching the Jacobi reference."""
+    import unittest.mock as mock
+
+    from fenicssolver_tpu.core import AutoSubDomain, near
+    from fenicssolver_tpu.solvers.scalar_transport import ScalarTransportSolver
+
+    def settings(pc=None):
+        mesh = UnitCubeMesh(8, 8, 8)
+        V = FunctionSpace(mesh, "CG", 1)
+        top = AutoSubDomain(lambda x: near(x[2], 1.0))
+        bottom = AutoSubDomain(lambda x: near(x[2], 0.0))
+        sp = {"relative_tolerance": 1e-12, "maximum_iterations": 3000}
+        if pc:
+            sp["preconditioner"] = pc
+        return {
+            "scalar_name": "temperature", "function_space": V, "mesh": None,
+            "boundary_conditions": {
+                "hot": {"boundary": top, "boundary_id": 1,
+                        "type": "Dirichlet", "value": 360.0},
+                "cold": {"boundary": bottom, "boundary_id": 2,
+                         "type": "Dirichlet", "value": 300.0},
+            },
+            "material": {"density": 1000, "specific_heat_capacity": 4200,
+                         "thermal_conductivity": 0.6},
+            "solver_settings": {
+                "transient_settings": {"transient": False},
+                "reference_values": {}, "solver_parameters": sp,
+            },
+            "report_settings": {"logging_level": 40},
+        }
+
+    with mock.patch("fenicssolver_tpu.solvers.solver_base.DENSE_LIMIT", 100):
+        T_ref = ScalarTransportSolver(settings()).solve()
+        solver = ScalarTransportSolver(settings(pc="gmg"))
+        T = solver.solve()
+    assert hasattr(solver, "_gmg_cache")  # the gmg branch actually ran
+    err = np.linalg.norm(T.values - T_ref.values) / np.linalg.norm(
+        T_ref.values
+    )
+    assert err < 1e-9, err
