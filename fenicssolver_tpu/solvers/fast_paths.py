@@ -130,18 +130,24 @@ def compile_transient_heat(
     return run, dict(A=A, K=K, b=b, dirichlet=dirichlet)
 
 
-def compile_transient_ns(solver, dt, n_steps, newton_iters=6, dtype=None):
+def compile_transient_ns(solver, dt, n_steps, newton_iters=6, dtype=None,
+                         gmres_tol=1e-10, gmres_restart=120,
+                         gmres_maxiter=6):
     """Jitted lax.scan over backward-Euler NS steps (VERDICT r1 item 7:
     the general python loop pays a host form-rebuild per step,
     ``solver_base.py:427-434``; this runs the WHOLE transient as one device
     dispatch).
 
     Per step: fixed-count Newton with on-device reassembly — the Jacobian
-    pattern is static, only the values recompute — and dense Newton
-    updates.  Constraints: constant dt, time-constant BC values, no ALE,
-    ndof small enough to densify (~4k; larger systems stay on the python
-    loop / sparse paths).  Returns ``run(w0_values) -> (w_final, norms)``.
+    pattern is static, only the values recompute.  The Newton update is a
+    dense solve up to ~4k dofs; beyond that it switches to GMRES with the
+    ``diag`` saddle-point preconditioner (Jacobi momentum +
+    viscosity-scaled lumped-pressure-mass Schur — a FIXED linear operator,
+    so it lives inside the scan with no host setup), which removes the old
+    size cap.  Constraints: constant dt, time-constant BC values, no ALE.
+    Returns ``run(w0_values) -> (w_final, norms)``.
     """
+    from ..la import krylov
     from ..la.direct import dense_solve
 
     solver.init_solver()
@@ -156,11 +162,7 @@ def compile_transient_ns(solver, dt, n_steps, newton_iters=6, dtype=None):
     ts["transient"] = was
     form = F[0] if isinstance(F, tuple) else F
     ndof = form.space.ndof
-    if ndof > 4096:
-        raise NotImplementedError(
-            "jitted NS transient densifies the Newton update; use the "
-            f"python loop beyond ~4k dofs (got {ndof})"
-        )
+    dense = ndof <= 4096
     dtype = dtype or jnp.zeros(0).dtype
     free = dirichlet.free_mask.astype(dtype)
     ubc = dirichlet.u_bc.astype(dtype)
@@ -171,21 +173,41 @@ def compile_transient_ns(solver, dt, n_steps, newton_iters=6, dtype=None):
     assert len(hist) == 1, "expected exactly one history-carrying term"
     hdofs = hist[0].ctx.cell_dofs
 
+    if not dense:
+        # production saddle-point preconditioner, factored for jit: host
+        # setup (viscous-AMG hierarchy, boundary-block slot map, pressure
+        # mass) happens HERE once; make_M(J) is traced inside the scan
+        solver._pcd_dt_inv = 1.0 / dt
+        make_M = solver._jit_block_preconditioner(free, form.pattern)
+
     @jax.jit
     def run(w0):
-        w0 = free * jnp.asarray(w0, dtype=dtype) + (1 - free) * ubc
+        # NOTE: the carry stays UNPROJECTED — the python loop's first-step
+        # history (aux wprev) carries the raw initial field, and projecting
+        # it onto the BCs changes the first transient term (a one-time but
+        # systematic ~1e-5 drift); only the Newton start iterate gets the
+        # Dirichlet values
+        w0 = jnp.asarray(w0, dtype=dtype)
 
         def step(w_prev, _):
             auxu = {"wprev": w_prev[hdofs]}
+            u_init = free * w_prev + (1 - free) * ubc
 
             def nbody(i, u):
                 R = assembly.assemble_residual(form, u, aux_update=auxu)
                 J = assembly.assemble_jacobian(form, u, aux_update=auxu)
-                Jc = assembly.constrain_csr(J, free)
-                du = dense_solve(Jc, free * R)
+                if dense:
+                    Jc = assembly.constrain_csr(J, free)
+                    du = dense_solve(Jc, free * R)
+                else:
+                    op = assembly.constrained_operator(J.matvec, free)
+                    du, _, _ = krylov.fgmres(
+                        op, free * R, M=make_M(J), tol=gmres_tol,
+                        restart=gmres_restart, maxiter=gmres_maxiter,
+                    )
                 return u - free * du
 
-            u = jax.lax.fori_loop(0, newton_iters, nbody, w_prev)
+            u = jax.lax.fori_loop(0, newton_iters, nbody, u_init)
             return u, jnp.linalg.norm(u)
 
         w_final, norms = jax.lax.scan(step, w0, None, length=n_steps)

@@ -945,6 +945,97 @@ class CoupledNavierStokesSolver(SolverBase):
             A_bb_inv = np.linalg.pinv(A_bb)
         return jnp.asarray(bdofs), jnp.asarray(A_bb_inv)
 
+    def _jit_block_preconditioner(self, free, pattern):
+        """Traced-compatible factory for the saddle-point preconditioner.
+
+        All HOST work happens here once — the cached viscous-AMG hierarchy
+        (:meth:`_momentum_amg`), the lumped-pressure-mass Schur scaling,
+        and a STATIC (m, m) slot map locating the boundary-touched momentum
+        block inside the Jacobian's nnz — so the returned ``make_M(J)``
+        builds the preconditioner from a traced ``CSRMatrix`` inside
+        jit/scan (``fast_paths.compile_transient_ns``): the boundary block
+        is gathered from ``J.data`` and inverted as a small dense matrix on
+        device, and the V-cycles/mass scaling are fixed linear maps."""
+        W = self.function_space
+        rho = float(self.material["density"])
+        nu0 = float(self.material["kinematic_viscosity"])
+        su, sp_ = W.slice_of(0), W.slice_of(1)
+        pfree = free[sp_]
+        mp = self._pressure_mass_diag()
+        inv_p_mass = (rho * rho * nu0) / jnp.maximum(mp, 1e-300)
+        M_uu = self._momentum_amg(free, su)
+        n = pattern.n
+
+        # static slot map for the boundary-touched block
+        bd = None
+        fid_list = getattr(self, "_mom_facet_ids", [])
+        if fid_list and M_uu is not None:
+            Vv = W.subspaces[0]
+            d = Vv.vdim
+            fids = np.unique(np.concatenate(fid_list))
+            info = self.mesh._compute_facets()
+            bcells = np.unique(info["facet_cells"][fids, 0])
+            sdofs = np.unique(np.asarray(Vv.scalar_space.cell_dofs)[bcells])
+            bdofs = (sdofs[:, None] * d + np.arange(d)[None, :]).reshape(-1)
+            fm_u = np.asarray(free)[su]
+            bdofs = bdofs[fm_u[bdofs] > 0.5]
+            if 0 < bdofs.size <= 4000:
+                start = su.start or 0
+                g = start + bdofs
+                indptr = np.asarray(pattern.indptr)
+                indices = np.asarray(pattern.indices)
+                m = len(g)
+                slots = np.full((m, m), -1, dtype=np.int64)
+                for a, r in enumerate(g):
+                    row_cols = indices[indptr[r] : indptr[r + 1]]
+                    pos = np.searchsorted(row_cols, g)
+                    ok = (pos < len(row_cols)) & (
+                        row_cols[np.minimum(pos, len(row_cols) - 1)] == g
+                    )
+                    slots[a, ok] = indptr[r] + pos[ok]
+                bd = (jnp.asarray(bdofs), jnp.asarray(slots))
+
+        def make_M(J):
+            def opc(x):
+                return free * J.matvec(free * x) + (1.0 - free) * x
+
+            def embed(xs, sl):
+                return jnp.zeros(n, dtype=xs.dtype).at[sl].set(xs)
+
+            def A_uu(xu):
+                return opc(embed(xu, su))[su]
+
+            diag = free * J.diagonal() + (1.0 - free)
+            inv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+            if bd is not None:
+                bdofs, slots = bd
+                A_bb = jnp.where(
+                    slots >= 0, J.data[jnp.maximum(slots, 0)], 0.0
+                )
+                A_bb_inv = jnp.linalg.inv(A_bb)
+
+            def momentum_solve(ru):
+                if M_uu is None:
+                    return inv[su] * ru
+                x = M_uu(ru)
+                if bd is not None:
+                    r2 = ru - A_uu(x)
+                    x = x.at[bdofs].add(A_bb_inv @ r2[bdofs])
+                return x + M_uu(ru - A_uu(x))
+
+            def M(r):
+                ru, rp = r[su], r[sp_]
+                zp = pfree * (inv_p_mass * rp) + (1.0 - pfree) * rp
+                zu = momentum_solve(ru - opc(embed(zp, sp_))[su])
+                z = inv * r
+                z = z.at[su].set(zu)
+                z = z.at[sp_].set(zp)
+                return free * z + (1.0 - free) * r
+
+            return M
+
+        return make_M
+
     def _block_preconditioner(self, J, free):
         """Saddle-point preconditioner for the mixed Jacobian.
 

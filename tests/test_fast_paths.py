@@ -221,3 +221,37 @@ def test_cached_transient_form_elasticity_dynamics():
         np.linalg.norm(u_ref.values), 1e-30
     )
     assert err < 1e-10, err
+
+
+def test_jitted_transient_ns_iterative_beyond_dense_limit():
+    """The in-scan GMRES Newton update (diag saddle-point preconditioner)
+    matches the python loop on a mesh past the dense cap — the jitted NS
+    transient no longer has a size limit (ROADMAP item 14 leftover)."""
+    import jax.numpy as jnp
+
+    from fenicssolver_tpu.solvers.fast_paths import compile_transient_ns
+    from fenicssolver_tpu.solvers.navier_stokes import (
+        CoupledNavierStokesSolver,
+    )
+
+    from .test_navier_stokes import channel_settings
+
+    dt, nsteps = 0.05, 3
+    s = channel_settings(nx=22, ny=22, transient=True)
+    s["solver_settings"]["transient_settings"]["time_step"] = dt
+    s["solver_settings"]["transient_settings"]["ending_time"] = (
+        dt * nsteps - dt / 2
+    )
+    ref = CoupledNavierStokesSolver(s)
+    up_ref = ref.solve()
+
+    s2 = channel_settings(nx=22, ny=22, transient=True)
+    solver_fast = CoupledNavierStokesSolver(s2)
+    assert solver_fast.function_space.ndof > 4096  # iterative branch
+    run, aux = compile_transient_ns(solver_fast, dt, nsteps, newton_iters=8)
+    w0 = solver_fast.get_initial_field().values
+    w_final, norms = run(jnp.asarray(w0))
+    err = np.linalg.norm(np.asarray(w_final) - up_ref.values) / max(
+        np.linalg.norm(up_ref.values), 1e-30
+    )
+    assert err < 1e-6, err
