@@ -178,6 +178,12 @@ class AMGPreconditioner:
         while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
             S = _strength_graph(A, theta)
             agg, n_agg = _aggregate(S)
+            if n_agg * B.shape[1] >= A.shape[0]:
+                # coarsening stalled (near-singleton aggregates on a dense
+                # coarse operator — the "coarse" level would GROW; observed
+                # 960 -> 1527 -> 3813 -> ... -> 290k on a P2 momentum
+                # block): stop here and treat A as the coarsest level
+                break
             P0, Bc = _tentative_prolongator(agg, n_agg, B)
             # Jacobi-smoothed prolongator: P = (I - omega D^-1 A) P0.
             # Sign-preserving diagonal guard: clamping negative entries to
@@ -255,9 +261,23 @@ class AMGPreconditioner:
             B = Bc
             if A.shape[0] <= coarse_size:
                 break
-        self.coarse_dense = jnp.asarray(
-            np.linalg.pinv(A.toarray())
-        )  # pinv: robust to the singular all-Neumann coarse limit
+        if A.shape[0] <= max(coarse_size * 10, 4000):
+            self.coarse_dense = jnp.asarray(
+                np.linalg.pinv(A.toarray())
+            )  # pinv: robust to the singular all-Neumann coarse limit
+            self._coarse_cheb = None
+        else:
+            # coarsening stalled while the level is still too large to
+            # densify: approximate the coarse solve with a fixed Chebyshev
+            # sweep on the l1-scaled operator (convergent by Gershgorin;
+            # a preconditioner needs spectral equivalence, not exactness)
+            self.coarse_dense = None
+            _l1c = _l1_row_sums(A)
+            self._coarse_cheb = dict(
+                A=csr_from_scipy(A),
+                l1=jnp.asarray(_l1c),
+                lam1=_estimate_l1_lam(A, _l1c),
+            )
         self.levels = levels
 
     def __call__(self, b):
@@ -271,7 +291,15 @@ class AMGPreconditioner:
 
     def _vcycle(self, li, b):
         if li == len(self.levels):
-            return self.coarse_dense @ b
+            if self.coarse_dense is not None:
+                return self.coarse_dense @ b
+            # stalled-coarsening fallback: degree-12 Chebyshev "solve" over
+            # the whole l1-scaled spectrum ([lam/30, lam])
+            cc = self._coarse_cheb
+            return self._smooth(
+                dict(A=cc["A"], l1=cc["l1"], lam1=cc["lam1"]), b,
+                degree=12, lmin_ratio=1.0 / 30.0,
+            )
         lv = self.levels[li]
         x = self._smooth(lv, b, degree=self.presmooth + 1)
         r = b - lv["A"].matvec(x)
@@ -283,13 +311,13 @@ class AMGPreconditioner:
         )
         return x
 
-    def _smooth(self, lv, b, degree):
+    def _smooth(self, lv, b, degree, lmin_ratio=0.25):
         """Chebyshev smoothing (x0 = 0) on the l1-scaled level operator,
-        targeting [lam/4, lam] — the upper part of the spectrum (the hypre
-        ``cheby`` smoother analog; same recurrence shape as
-        ``krylov.chebyshev_preconditioner``)."""
+        targeting [lmin_ratio * lam, lam] (default: the upper part of the
+        spectrum — the hypre ``cheby`` smoother analog; the stalled-coarse
+        fallback widens the interval to act as an approximate solve)."""
         A, l1, lam = lv["A"], lv["l1"], lv["lam1"]
-        lmin = 0.25 * lam
+        lmin = lmin_ratio * lam
         theta = 0.5 * (lam + lmin)
         delta = 0.5 * (lam - lmin)
         sigma = theta / delta
