@@ -941,7 +941,7 @@ def _run_tpu_with_fallback(sizes, tol, timeout_s=540):
     return None, None
 
 
-def _run_elas_child(n, tol, timeout_s=420):
+def _run_elas_child(n, tol, timeout_s=360):
     import subprocess
 
     try:
@@ -1016,7 +1016,7 @@ def main():
     if (
         os.environ.get("BENCH_ELAS", "1") == "1"
         and fmt == "stencil"
-        and time.perf_counter() - t_main0 < 600
+        and time.perf_counter() - t_main0 < 420
     ):
         n_e = int(os.environ.get("BENCH_N_ELAS", "80"))  # 3*81^3 = 1.59M dofs
         d_e = _run_elas_child(n_e, tol)
