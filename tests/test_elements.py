@@ -143,3 +143,57 @@ def test_p3_cubic_exactness_3d():
     )
     err = np.abs(np.asarray(x) - u_ex(V.dof_coords)).max()
     assert err < 1e-11, err
+
+
+def test_p3_vector_patch_test():
+    """Vector P3 space: an affine displacement field (constant strain) is
+    reproduced exactly through assemble+solve with boundary Dirichlet —
+    exercises VectorFunctionSpace dofmaps and facet_dofs at degree 3."""
+    import jax.numpy as jnp
+
+    from fenicssolver_tpu.core import UnitCubeMesh
+    from fenicssolver_tpu.core.spaces import VectorFunctionSpace
+    from fenicssolver_tpu.la import krylov
+    from fenicssolver_tpu.ops import assembly, geometry
+
+    mesh = UnitCubeMesh(2, 2, 2)
+    V = VectorFunctionSpace(mesh, "CG", 3)
+    tab = geometry.basis_tables(3, 3, 6)
+    ctx = geometry.build_cell_context(V, 6)
+    phi = jnp.asarray(tab.phi)
+    dphi = jnp.asarray(tab.dphi)
+    qw = jnp.asarray(tab.qw)
+    ks = V.scalar_space.ndof_el
+    mu, lam = 1.0, 1.5
+    I = jnp.eye(3)
+
+    def kernel(ue, geom, aux):
+        U = ue.reshape(ks, 3)
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        gU = jnp.einsum("qkg,kv->qvg", dphig, U)
+        eps = 0.5 * (gU + jnp.swapaxes(gU, 1, 2))
+        sig = 2 * mu * eps + lam * jnp.trace(
+            eps, axis1=1, axis2=2
+        )[:, None, None] * I
+        return jnp.einsum("q,qvg,qkg->kv", qw * geom.detJ, sig, dphig).reshape(-1)
+
+    form = assembly.Form(space=V)
+    form.cell_terms.append(assembly.CellTerm(kernel=kernel, ctx=ctx))
+    form.finalize()
+    A, _ = assembly.assemble_linear_system(form)
+    B = np.array([[0.1, 0.02, 0.0], [0.03, -0.05, 0.01], [0.0, 0.04, 0.08]])
+    c = np.array([0.01, -0.02, 0.005])
+    full = (V.scalar_space.dof_coords @ B.T + c).reshape(-1)
+    bd = V.facet_dofs(mesh.exterior_facets())
+    dd = assembly.DirichletData(V.ndof)
+    dd.add(bd, full[bd])
+    dd.finalize()
+    op = assembly.constrained_operator(A.matvec, dd.free_mask)
+    rhs = assembly.constrained_rhs(
+        A.matvec, jnp.zeros(V.ndof), dd.free_mask, dd.u_bc
+    )
+    diag = dd.free_mask * A.diagonal() + (1 - dd.free_mask)
+    x, _, _ = krylov.cg(
+        op, rhs, M=krylov.jacobi_preconditioner(diag), tol=1e-14, maxiter=8000
+    )
+    assert np.abs(np.asarray(x) - full).max() < 1e-11
