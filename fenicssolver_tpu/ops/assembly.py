@@ -49,6 +49,13 @@ class FacetTerm:
     pos: Optional[jnp.ndarray] = None
 
 
+#: monotonically increasing Form token: caches keyed on ``id(form)`` broke
+#: when CPython reused the address of a garbage-collected Form between
+#: transient steps (a new form silently hit a stale halo solver); every
+#: finalize() stamps a process-unique generation instead.
+_FORM_GENERATION = 0
+
+
 @dataclass
 class Form:
     """A residual form over one function space."""
@@ -57,15 +64,20 @@ class Form:
     cell_terms: list = field(default_factory=list)
     facet_terms: list = field(default_factory=list)
     pattern: Any = None
+    generation: int = 0  # unique token stamped at finalize (cache key)
+    aux_version: int = 0  # bumped on in-place term.aux refresh (cache key)
 
     def finalize(self):
         """Build the CSR pattern covering all terms and fill slot maps."""
+        global _FORM_GENERATION
         maps = [np.asarray(t.ctx.cell_dofs) for t in self.cell_terms] + [
             np.asarray(t.ctx.cell_dofs) for t in self.facet_terms
         ]
         self.pattern, positions = build_pattern(maps, self.space.ndof)
         for t, pos in zip(self.cell_terms + self.facet_terms, positions):
             t.pos = pos
+        _FORM_GENERATION += 1
+        self.generation = _FORM_GENERATION
         return self
 
 

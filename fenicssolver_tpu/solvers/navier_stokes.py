@@ -719,7 +719,10 @@ class CoupledNavierStokesSolver(SolverBase):
         between Newton iterations and is reassembled in :meth:`_pcd_schur`.
         Invalidated when the mesh moves (ALE/FSI)."""
         mesh = self.mesh
-        key = (mesh.num_cells(), float(np.sum(mesh.coords)))
+        # geometry_version is bumped by Mesh.move/set_coordinates, so ALE/FSI
+        # motion invalidates the cache even when the net coordinate change
+        # cancels (a coords-sum fingerprint misses antisymmetric deformation)
+        key = (mesh.num_cells(), getattr(mesh, "geometry_version", 0))
         cache = getattr(self, "_pcd_cache", None)
         if cache is not None and cache["key"] == key:
             return cache
@@ -860,11 +863,13 @@ class CoupledNavierStokesSolver(SolverBase):
         mesh = self.mesh
         dt_inv = float(getattr(self, "_pcd_dt_inv", 0.0))
         fm = np.asarray(free)[su] > 0.5
+        # mask CONTENT and mesh geometry_version in the key (a count-only /
+        # coords-sum fingerprint can collide across BC layouts or ALE motion)
         key = (
             mesh.num_cells(),
-            float(np.sum(mesh.coords)),
+            getattr(mesh, "geometry_version", 0),
             dt_inv,
-            int(fm.sum()),
+            hash(fm.tobytes()),
         )
         cache = getattr(self, "_mom_amg_cache", None)
         if cache is not None and cache["key"] == key:
@@ -902,7 +907,15 @@ class CoupledNavierStokesSolver(SolverBase):
             amg = AMGPreconditioner(
                 A_hat.to_scipy(), nullspace=B, free_mask=fm
             )
-        except Exception:  # pragma: no cover - degenerate aggregation
+        except Exception as e:  # pragma: no cover - degenerate aggregation
+            # MUST be loud: a silently-degraded momentum preconditioner
+            # caused an outer-iteration blowup at 21k dofs in round 2 —
+            # diag fallback changes convergence by an order of magnitude
+            self.logger.warning(
+                "momentum AMG setup failed (%s); falling back to the "
+                "diagonal momentum preconditioner — expect many more "
+                "outer iterations", e,
+            )
             amg = None
         self._mom_amg_cache = dict(key=key, amg=amg)
         return amg

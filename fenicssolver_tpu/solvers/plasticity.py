@@ -74,6 +74,13 @@ class PlasticitySolver(LinearElasticitySolver):
         self._epsp = jnp.zeros((nc, nq, 3, 3))
         self._alpha = jnp.zeros((nc, nq))
 
+    def _cached_form_eligible(self):
+        """Never cache the transient form: the residual bakes the plastic
+        state (``epsp``/``alpha`` aux, reassigned by ``_commit_state`` each
+        load step), which is NOT step-invariant — a cached form would freeze
+        the step-1 state and silently degenerate to elastic response."""
+        return False
+
     def _material_constants(self):
         E = float(self.material["elastic_modulus"])
         nu = float(self.material["poisson_ratio"])

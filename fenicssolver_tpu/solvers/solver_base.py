@@ -471,6 +471,9 @@ class SolverBase:
                         term.aux["accel"] = jnp.asarray(
                             self.get_acceleration(self.current_step)
                         )[term.ctx.cell_dofs]
+                # the in-place aux refresh invalidates any downstream cache
+                # holding copies of the element data (HaloElementSolver)
+                form.aux_version = getattr(form, "aux_version", 0) + 1
         else:
             with self.timers.phase("form+assembly_setup"):
                 F, Dirichlet_bcs = self.generate_form(
@@ -667,7 +670,13 @@ class SolverBase:
             ):
                 from ..la import gmg as _gmg
 
-                key = (id(info), int(np.sum(np.asarray(free) > 0.5)))
+                # key on the MASK CONTENT, not its count: two Dirichlet
+                # layouts with equal constrained-dof counts must not share
+                # a hierarchy built for the wrong free3 mask
+                key = (
+                    id(info),
+                    hash((np.asarray(free) > 0.5).tobytes()),
+                )
                 cache = getattr(self, "_gmg_cache", None)
                 if cache is None or cache[0] != key:
                     free3 = np.asarray(free).reshape(
@@ -747,14 +756,27 @@ class SolverBase:
                     ndof = self.function_space.ndof
                     free = jnp.ones(ndof, dtype=jnp.asarray(u.values).dtype)
                     ubc = jnp.zeros(ndof, dtype=free.dtype)
+                # cache key: the finalize-stamped generation (NOT id(form) —
+                # CPython reuses addresses of collected Forms between steps)
+                # plus aux_version, which the cached-transient-form refresh
+                # bumps when it swaps history arrays in place — either change
+                # means the copied element data is stale and must rebuild
+                tok = (
+                    getattr(form, "generation", None),
+                    getattr(form, "aux_version", 0),
+                )
                 hs = getattr(self, "_halo_element_solver", None)
-                if hs is None or hs._form_id != id(form):
+                if (
+                    hs is None
+                    or tok[0] is None
+                    or getattr(hs, "_form_token", None) != tok
+                ):
                     hs = HaloElementSolver(
                         batches_from_form(form),
                         self.function_space.dof_coords,
                         self.function_space.ndof,
                     )
-                    hs._form_id = id(form)
+                    hs._form_token = tok
                     self._halo_element_solver = hs
                 x, it = hs.solve(
                     free, ubc,
