@@ -909,55 +909,47 @@ def _child_main(n, tol):
     )
 
 
-def _run_tpu_with_fallback(sizes, tol, timeout_s=540):
-    import subprocess
-
-    for i, n in enumerate(sizes):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--tpu-child", str(n)],
-                capture_output=True,
-                # generous budget for the target size (a cold axon remote
-                # compile at 0.91M dofs can take minutes); tighter for the
-                # fallback sizes so a wedged tunnel still yields a record
-                timeout=timeout_s if i == 0 else 240,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            sys.stderr.write(out.stderr)
-            for line in out.stdout.splitlines():
-                if line.startswith("CHILD_RESULT "):
-                    d = json.loads(line[len("CHILD_RESULT "):])
-                    return d, n
-            sys.stderr.write(
-                f"bench child n={n} failed (rc={out.returncode}); retrying\n"
-            )
-        except subprocess.TimeoutExpired as e:
-            if e.stderr:
-                sys.stderr.write(
-                    e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr
-                )
-            sys.stderr.write(f"bench child n={n} timed out; retrying smaller\n")
-    return None, None
-
-
-def _run_elas_child(n, tol, timeout_s=360):
+def _run_child(arg, n, timeout_s):
+    """One guarded TPU child run; returns the CHILD_RESULT dict or None."""
     import subprocess
 
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--tpu-child-elas", str(n)],
-            capture_output=True, timeout=timeout_s, text=True,
+            [sys.executable, os.path.abspath(__file__), arg, str(n)],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         sys.stderr.write(out.stderr)
         for line in out.stdout.splitlines():
             if line.startswith("CHILD_RESULT "):
                 return json.loads(line[len("CHILD_RESULT "):])
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(f"elasticity child n={n} timed out\n")
+        sys.stderr.write(f"bench child {arg} n={n} failed (rc={out.returncode})\n")
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(
+                e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr
+            )
+        sys.stderr.write(f"bench child {arg} n={n} timed out\n")
     return None
+
+
+def _run_tpu_with_fallback(sizes, tol, timeout_s=540):
+    for i, n in enumerate(sizes):
+        # generous budget for the target size (a cold axon remote compile
+        # can take minutes); tighter for the fallback sizes so a wedged
+        # tunnel still yields a record
+        d = _run_child("--tpu-child", n, timeout_s if i == 0 else 240)
+        if d is not None:
+            return d, n
+        if i + 1 < len(sizes):
+            sys.stderr.write("retrying smaller\n")
+    return None, None
+
+
+def _run_elas_child(n, tol, timeout_s=360):
+    return _run_child("--tpu-child-elas", n, timeout_s)
 
 
 def main():
@@ -981,12 +973,15 @@ def main():
         return
 
     fmt = os.environ.get("BENCH_FORMAT", "stencil")
-    # stencil default n=128 (2.1M dofs): the scatter-free fast path removes
-    # both the 150 s sparsity setup and the HBM-heavy tile buffers, so
-    # bigger-than-target sizes are safe; bell keeps the 0.91M target size
-    n_tpu = int(os.environ.get("BENCH_N", "128" if fmt == "stencil" else "96"))
+    # RECORD-FIRST sizing (round-2 lesson: the n=128 primary burned its
+    # whole 540 s budget on a slow tunnel, fell back to 0.91M and the
+    # overrun then starved the elasticity child — losing BOTH headline
+    # numbers from the driver artifact).  The primary is now a known-good
+    # >= 1M size (n=104 -> 1.158M dofs); n=128 (2.1M) runs LAST as an
+    # optional upgrade pass with its own bounded budget.
+    n_tpu = int(os.environ.get("BENCH_N", "104" if fmt == "stencil" else "96"))
     n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
-    sizes = sorted({n_tpu, 96, 64, 48, 32}, reverse=True)
+    sizes = sorted({n_tpu, 96, 64, 48}, reverse=True)
     sizes = [s for s in sizes if s <= n_tpu]
     d, n_used = _run_tpu_with_fallback(sizes, tol)
     if d is None:
@@ -1009,17 +1004,16 @@ def main():
     ndof_c, dt_c, iters_c, x_c = cpu_run(n_cpu, tol, maxiter=3000)
     cpu_dofs_per_sec = ndof_c / dt_c
 
-    # vector-elasticity variant (ROADMAP perf item 3): recorded in detail;
-    # skipped when the tunnel is slow so the primary metric always lands
+    # vector-elasticity variant (ROADMAP perf item 3): recorded in detail
+    # with its OWN time budget — independent of primary-attempt overruns
+    # (round 2's elapsed-time gate erased it from the artifact)
     elas = None
-    t_main0 = globals().get("_MAIN_T0", time.perf_counter())
-    if (
-        os.environ.get("BENCH_ELAS", "1") == "1"
-        and fmt == "stencil"
-        and time.perf_counter() - t_main0 < 420
-    ):
+    if os.environ.get("BENCH_ELAS", "1") == "1" and fmt == "stencil":
         n_e = int(os.environ.get("BENCH_N_ELAS", "80"))  # 3*81^3 = 1.59M dofs
         d_e = _run_elas_child(n_e, tol)
+        if d_e is None:  # one smaller retry so the variant still records
+            n_e = 64
+            d_e = _run_elas_child(n_e, tol, timeout_s=240)
         if d_e is not None:
             ndof_ce, dt_ce, it_ce, x_ce = cpu_baseline_elasticity(
                 int(os.environ.get("BENCH_N_ELAS_CPU", "40")), tol,
@@ -1039,6 +1033,27 @@ def main():
                     "u_max": float(np.abs(x_ce).max()),
                 },
             }
+
+    # optional UPGRADE pass: after the >= 1M record and the elasticity
+    # variant are safely in hand, try the 2.1M-dof size with its own
+    # bounded budget; on success it replaces the headline, on timeout the
+    # recorded numbers are untouched
+    n_up = int(os.environ.get("BENCH_N_UPGRADE", "128"))
+    upgrade = None
+    if (
+        os.environ.get("BENCH_UPGRADE", "1") == "1"
+        and fmt == "stencil"
+        and d is not None
+        and "note" not in d
+        and n_up > n_used
+    ):
+        d_up = _run_child("--tpu-child", n_up, 480)
+        if d_up is not None:
+            upgrade = d_up
+            d, n_used = d_up, n_up
+            ndof, dt, iters, res = d["ndof"], d["dt"], d["iters"], d["res"]
+            umax_tpu_val = d["umax"]
+            tpu_dofs_per_sec = ndof / dt
 
     # correctness spot check: both solve the same PDE; compare the solution
     # max scale-invariantly (u_max ~ 0.0562 for the unit cube with f = 1)
@@ -1073,6 +1088,8 @@ def main():
     }
     if elas is not None:
         result["detail"]["elasticity3d"] = elas
+    if upgrade is not None:
+        result["detail"]["upgrade_pass"] = "landed n=%d" % n_up
     if "note" in d:
         result["detail"]["note"] = d["note"]
     print(json.dumps(result))

@@ -1,0 +1,495 @@
+"""Slab-sharded stencil PCG with a SHARDED geometric-multigrid V-cycle.
+
+Round-2 gap (VERDICT #2): the halo CG in ``parallel/halo.py`` only had a
+Jacobi preconditioner, so distributed iteration counts grew O(1/h) with
+refinement while the reference gets mesh-independent AMG from PETSc under
+MPI (``FenicsSolver/SolverBase.py:643-672``).  On BoxMesh lattices this
+module closes it the TPU way:
+
+- the (Nx, Ny, Nz) vertex lattice is sliced into x-plane SLABS, one per
+  device; every vector lives as a ``(nd, mp, Ny, Nz)`` sharded array
+  (struct-of-arrays: big trailing dims tile onto (8, 128) lanes),
+- the 15-offset P1 stencil needs ONE halo plane per side; matvec is
+  local shift-FMAs after a 2-message ``lax.ppermute`` plane exchange —
+  O(interface) communication riding ICI, zero gathers/scatters,
+- the V-cycle levels stay sharded with ALIGNED plane cuts (level-l cuts
+  are level-0 cuts / 2^l, chosen as multiples of 2^Ls), so restriction/
+  prolongation along the sharded axis are strided slices of the haloed
+  array — still one plane exchange each; y/z transfers are local,
+- coarse grids below ``gather_max`` are gathered with one ``psum`` and the
+  remaining levels + dense coarsest solve run REPLICATED on every device
+  (identical compute, no further communication),
+- smoother, transfers, and taps are numerically identical to the serial
+  ``la/gmg.py`` hierarchy, so iteration counts match the serial GMG-PCG
+  (~7, mesh-independent) instead of Jacobi's hundreds.
+
+Scope mirrors the serial GMG fast path: scalar P1 CG spaces on BoxMesh
+lattices.  The exact CG matvec uses the TRUE assembled stencil fields
+(variable coefficients are handled); the preconditioner taps are
+re-discretized constants per level, exactly as in ``la/gmg.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import PartitionSpec as P
+
+from ..la.gmg import CENTER_IDX, OFFSETS_T, build_gmg, p1_box_stencil, vcycle
+
+AXIS = "lat_x"
+
+
+def stencil_fields_from_csr(A, shape3):
+    """Extract per-vertex stencil coefficient fields from an assembled CSR.
+
+    Returns ``coef`` of shape (15, Nx, Ny, Nz) with
+    ``coef[oi, i, j, k] = A[v, v + OFFSETS[oi]]`` (0 where the neighbour is
+    outside the lattice).  Host-side O(nnz) numpy."""
+    if hasattr(A, "to_scipy"):
+        A = A.to_scipy()
+    A = A.tocsr()
+    Nx, Ny, Nz = shape3
+    ndof = Nx * Ny * Nz
+    assert A.shape == (ndof, ndof), (A.shape, shape3)
+    rows = np.repeat(np.arange(ndof, dtype=np.int64), np.diff(A.indptr))
+    cols = A.indices.astype(np.int64)
+    ri, rj, rk = np.unravel_index(rows, shape3)
+    ci, cj, ck = np.unravel_index(cols, shape3)
+    di, dj, dk = ci - ri, cj - rj, ck - rk
+    # (3,3,3) offset -> stencil index lookup (-1 = not a stencil offset)
+    lut = np.full((3, 3, 3), -1, dtype=np.int64)
+    for oi, (a, b, c) in enumerate(OFFSETS_T):
+        lut[a + 1, b + 1, c + 1] = oi
+    inb = (np.abs(di) <= 1) & (np.abs(dj) <= 1) & (np.abs(dk) <= 1)
+    oi = np.where(inb, lut[di.clip(-1, 1) + 1, dj.clip(-1, 1) + 1,
+                           dk.clip(-1, 1) + 1], -1)
+    ok = oi >= 0
+    if not ok.all() and np.abs(A.data[~ok]).max() > 0:
+        raise ValueError(
+            "matrix has entries outside the 15-offset lattice stencil"
+        )
+    coef = np.zeros((len(OFFSETS_T), Nx, Ny, Nz), dtype=A.data.dtype)
+    coef[oi[ok], ri[ok], rj[ok], rk[ok]] = A.data[ok]
+    return coef
+
+
+def _slab_cuts(n, nd, Ls):
+    """Level-0 plane cuts: interior cuts are multiples of 2^Ls so that
+    every coarser sharded level's cuts (cuts // 2^l) stay aligned with the
+    fine ones (restriction/prolongation then need only a 1-plane halo)."""
+    base = 1 << Ls
+    q = n // base  # number of base blocks (n is divisible by 2^Ls)
+    blocks = np.array([q // nd + (1 if r < q % nd else 0) for r in range(nd)])
+    cuts = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(blocks * base, out=cuts[1:])
+    cuts[nd] = n + 1  # last rank also owns the final lattice plane
+    return cuts
+
+
+class LatticeHaloSolver:
+    """Distributed GMG-preconditioned CG on a BoxMesh vertex lattice.
+
+    ``A``: assembled fine operator (CSRMatrix or scipy CSR) with lattice
+    sparsity; ``info``: ``mesh.lattice_info`` dict with "n" and "extent".
+    """
+
+    def __init__(self, A, info, devices=None, gather_max=20000, nu=2,
+                 omega=0.8, mesh_axes=None):
+        """``mesh_axes``: optional ((name, size), ...) device-mesh axes —
+        e.g. (("dcn", 2), ("ici", 4)) for a DCN-ready 2-axis mesh; slabs
+        shard over the PRODUCT of the axes (collectives take the axis-name
+        tuple), so multi-slice topology is a config change (VERDICT r2
+        item 9 / ROADMAP item 7).  Default: one axis named "lat_x"."""
+        devices = devices if devices is not None else jax.devices()
+        nd = len(devices)
+        self.n_dev = nd
+        if mesh_axes is None:
+            mesh_axes = ((AXIS, nd),)
+        names = tuple(nm for nm, _ in mesh_axes)
+        shape = tuple(int(sz) for _, sz in mesh_axes)
+        assert int(np.prod(shape)) == nd, (mesh_axes, nd)
+        self._axes = names
+        self.device_mesh = DeviceMesh(
+            np.array(devices).reshape(shape), names
+        )
+        n = tuple(int(v) for v in info["n"])
+        extent = tuple(float(v) for v in info.get("extent", (1.0, 1.0, 1.0)))
+        self.shape3 = tuple(nn + 1 for nn in n)
+        self.ndof = int(np.prod(self.shape3))
+        # small problems still shard at least one level (the replicated
+        # tail then just starts earlier)
+        gather_max = min(gather_max, max(self.ndof // 4, 64))
+        h = np.array(extent) / np.array(n)
+
+        # sharded level count Ls: every sharded level needs 2^l | n (all
+        # axes), at least one 2-plane block per rank along x, and we stop
+        # sharding once the NEXT level fits under gather_max (the
+        # replicated tail takes over); at least 1 sharded level or this
+        # class does not apply
+        Ls = 0
+        while True:
+            c = Ls + 1
+            nl = [nn >> c for nn in n]
+            divisible = all(nn % (1 << c) == 0 for nn in n)
+            if (
+                divisible
+                and n[0] >> c >= nd
+                and all(v >= 2 for v in nl)
+                and int(np.prod([(nn >> Ls) + 1 for nn in n])) > gather_max
+            ):
+                Ls = c
+            else:
+                break
+        if Ls == 0:
+            raise ValueError(
+                f"lattice n={n} too small to shard over {nd} devices; "
+                "use the serial GMG path"
+            )
+        self.Ls = Ls
+        self._tail_n = tuple(nn >> Ls for nn in n)
+
+        cuts0 = _slab_cuts(n[0], nd, Ls)
+        self.cuts = []
+        for l in range(Ls + 1):
+            cl = cuts0 // (1 << l)
+            cl[nd] = (n[0] >> l) + 1
+            self.cuts.append(cl)
+        # padded slab sizes derived TAIL-UP so mp[l] == 2 * mp[l+1] exactly
+        # (the strided restrict/prolong slices require exact doubling)
+        m_tail = int(np.max(np.diff(self.cuts[Ls])))
+        self.mp = [m_tail * (1 << (Ls - l)) for l in range(Ls)] + [m_tail]
+        assert all(
+            self.mp[l] >= int(np.max(np.diff(self.cuts[l])))
+            for l in range(Ls + 1)
+        )
+
+        self.shapes = [tuple((nn >> l) + 1 for nn in n) for l in range(Ls + 1)]
+        self.taps = [
+            p1_box_stencil(*(h * (1 << l))) for l in range(Ls)
+        ]
+        self.nu, self.omega = nu, omega
+        self._extent = extent
+        self._n = n
+
+        coef = stencil_fields_from_csr(A, self.shape3)
+        self._coef_np = self._to_slabs(coef, axis=1, level=0)
+        self._compiled = {}
+
+    def update_operator(self, A):
+        """Swap in a re-assembled operator (transient steps): re-extracts
+        the stencil fields; the compiled PCG programs are reused (the
+        fields are runtime arguments, not baked constants)."""
+        coef = stencil_fields_from_csr(A, self.shape3)
+        self._coef_np = self._to_slabs(coef, axis=1, level=0)
+
+    # -- host-side slab redistribution ------------------------------------
+    def _to_slabs(self, arr, axis, level):
+        """Slice a global array along lattice-x into padded per-rank slabs:
+        returns (nd, ..., mp, ...) with the slab axis at ``axis``+1."""
+        cuts, mp = self.cuts[level], self.mp[level]
+        nd = self.n_dev
+        out_shape = (nd,) + arr.shape[:axis] + (mp,) + arr.shape[axis + 1 :]
+        out = np.zeros(out_shape, dtype=arr.dtype)
+        for r in range(nd):
+            m_r = cuts[r + 1] - cuts[r]
+            dst = (r,) + (slice(None),) * axis + (slice(0, m_r),)
+            src = (slice(None),) * axis + (slice(cuts[r], cuts[r + 1]),)
+            out[dst] = arr[src]
+        return out
+
+    def _from_slabs(self, slabs, level=0):
+        cuts = self.cuts[level]
+        parts = [
+            np.asarray(slabs[r][: cuts[r + 1] - cuts[r]])
+            for r in range(self.n_dev)
+        ]
+        return np.concatenate(parts, axis=0)
+
+    def _level_masks(self, free3):
+        """(frees, pmasks) slab arrays for every level, vertex injection."""
+        frees, pmasks = [], []
+        f = np.asarray(free3, dtype=np.float64)
+        for l in range(self.Ls + 1):
+            fl = f[:: 1 << l, :: 1 << l, :: 1 << l]
+            frees.append(self._to_slabs(fl, axis=0, level=l))
+            cuts, mp = self.cuts[l], self.mp[l]
+            pm = np.zeros((self.n_dev, mp))
+            for r in range(self.n_dev):
+                pm[r, : cuts[r + 1] - cuts[r]] = 1.0
+            pmasks.append(pm)
+        return frees, pmasks
+
+    # -- device program ----------------------------------------------------
+    def _build(self, tol, maxiter, dtype, G_tail):
+        """shard_map PCG program; the replicated tail hierarchy ``G_tail``
+        (arrays << gather_max entries) is baked as closure constants."""
+        nd = self.n_dev
+        Ls = self.Ls
+        mps = self.mp
+        nu, om = self.nu, self.omega
+        taps = [jnp.asarray(t, dtype=dtype) for t in self.taps]
+        inv_diag = [
+            jnp.asarray(1.0 / t[CENTER_IDX], dtype=dtype) for t in self.taps
+        ]
+        perm_right = [(r, r + 1) for r in range(nd - 1)]
+        perm_left = [(r + 1, r) for r in range(nd - 1)]
+        axes = self._axes  # collectives run over the PRODUCT of mesh axes
+        tail_shape = tuple(v + 1 for v in self._tail_n)
+
+        def _shift_yz(x, dy, dz):
+            slc, pads = [slice(None)], [(0, 0)]
+            for ax, dd in ((1, dy), (2, dz)):
+                nn = x.shape[ax]
+                if dd >= 0:
+                    slc.append(slice(dd, nn))
+                    pads.append((0, dd))
+                else:
+                    slc.append(slice(0, nn + dd))
+                    pads.append((-dd, 0))
+            return jnp.pad(x[tuple(slc)], pads)
+
+        def with_halo(x, m):
+            """(mp, Ny, Nz) owned slab -> (mp+2,) haloed: xe[0] holds the
+            left neighbour's LAST owned plane, xe[m+1] the right
+            neighbour's FIRST; edge ranks receive zeros (out-of-domain
+            taps are zero, so the value never matters)."""
+            last = jax.lax.dynamic_slice_in_dim(x, m - 1, 1, 0)
+            first = x[0:1]
+            from_left = jax.lax.ppermute(last, axes, perm_right)
+            from_right = jax.lax.ppermute(first, axes, perm_left)
+            xe = jnp.concatenate([from_left, x, jnp.zeros_like(first)], 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                xe, from_right, m + 1, 0
+            )
+
+        def apply_stencil(xe, t, mp):
+            """t: (15,) taps or (15, mp, Ny, Nz) fields (row-indexed)."""
+            y = t[CENTER_IDX] * xe[1 : 1 + mp]
+            for oi, (dx, dy, dz) in enumerate(OFFSETS_T):
+                if oi == CENTER_IDX:
+                    continue
+                y = y + t[oi] * _shift_yz(xe[1 + dx : 1 + dx + mp], dy, dz)
+            return y
+
+        def restrict_axis_local(x, ax):
+            x = jnp.moveaxis(x, ax, 0)
+            xp = jnp.pad(x, ((1, 1),) + ((0, 0),) * (x.ndim - 1))
+            y = 0.5 * xp[0:-2:2] + xp[1:-1:2] + 0.5 * xp[2::2]
+            return jnp.moveaxis(y, 0, ax)
+
+        def prolong_axis_local(x, ax):
+            x = jnp.moveaxis(x, ax, 0)
+            odd = 0.5 * (x[:-1] + x[1:])
+            body = jnp.stack([x[:-1], odd], axis=1).reshape(
+                (-1,) + x.shape[1:]
+            )
+            y = jnp.concatenate([body, x[-1:]], axis=0)
+            return jnp.moveaxis(y, 0, ax)
+
+        def restrict_shard(r, l, m_l, pm_c):
+            """Level l -> l+1 along x via strided slices of the haloed
+            slab (aligned cuts), then local full weighting along y/z."""
+            mp_c = mps[l + 1]
+            xe = with_halo(r, m_l)
+            rc = (
+                0.5 * xe[0 : 2 * mp_c : 2]
+                + xe[1 : 2 * mp_c + 1 : 2]
+                + 0.5 * xe[2 : 2 * mp_c + 2 : 2]
+            )
+            rc = restrict_axis_local(rc, 1)
+            rc = restrict_axis_local(rc, 2)
+            return pm_c[:, None, None] * rc
+
+        def prolong_shard(ec, l, m_c, pm_f):
+            """Level l+1 -> l: interleave even (copy) / odd (average)
+            planes from the haloed coarse slab, then local interpolation
+            along y/z."""
+            mp_c = mps[l + 1]
+            ece = with_halo(ec, m_c)
+            even = ece[1 : 1 + mp_c]
+            odd = 0.5 * (ece[1 : 1 + mp_c] + ece[2 : 2 + mp_c])
+            ef = jnp.stack([even, odd], axis=1).reshape(
+                (2 * mp_c,) + even.shape[1:]
+            )
+            ef = prolong_axis_local(ef, 1)
+            ef = prolong_axis_local(ef, 2)
+            return pm_f[:, None, None] * ef
+
+        nlev = Ls + 1
+        sp = P(axes)  # shard over the product of the mesh axes
+        in_specs = (
+            sp,  # coef fields
+            tuple(sp for _ in range(nlev)),  # frees
+            tuple(sp for _ in range(nlev)),  # pmasks
+            tuple(sp for _ in range(nlev)),  # m per level
+            sp,  # tail slab starts
+            sp,  # b
+            sp,  # ubc
+        )
+
+        @partial(
+            shard_map,
+            mesh=self.device_mesh,
+            in_specs=in_specs,
+            out_specs=(sp, P()),
+            check_vma=False,
+        )
+        def pcg(coef, frees, pmasks, ms, cs_tail, b, ubc):
+            coef = coef[0]
+            frees = tuple(f[0] for f in frees)
+            pmasks = tuple(p[0] for p in pmasks)
+            ms = tuple(m[0] for m in ms)
+            cs_t = cs_tail[0]
+            b = b[0]
+            ubc = ubc[0]
+            free = frees[0]
+            pm0 = pmasks[0][:, None, None]
+
+            def matvec_raw(x):
+                return apply_stencil(with_halo(x, ms[0]), coef, mps[0])
+
+            def matvec(x):
+                return pm0 * (free * matvec_raw(free * x) + (1 - free) * x)
+
+            def a_free(l, x):
+                return frees[l] * apply_stencil(
+                    with_halo(frees[l] * x, ms[l]), taps[l], mps[l]
+                )
+
+            def tail_solve(r_loc):
+                """Gather the coarse residual (one psum), run the
+                replicated serial V-cycle tail, slice the local slab."""
+                pad = jnp.zeros(
+                    (tail_shape[0] + mps[Ls],) + tail_shape[1:],
+                    dtype=r_loc.dtype,
+                )
+                pad = jax.lax.dynamic_update_slice_in_dim(
+                    pad, pmasks[Ls][:, None, None] * r_loc, cs_t, 0
+                )
+                g = jax.lax.psum(pad[: tail_shape[0]], axes)
+                e = vcycle(G_tail, g.ravel()).reshape(tail_shape)
+                epad = jnp.concatenate(
+                    [e, jnp.zeros((mps[Ls],) + tail_shape[1:], e.dtype)], 0
+                )
+                eloc = jax.lax.dynamic_slice_in_dim(epad, cs_t, mps[Ls], 0)
+                return pmasks[Ls][:, None, None] * eloc
+
+            def Mcycle(r0):
+                bs = [frees[0] * r0]
+                xs = []
+                for l in range(Ls):
+                    b_l = bs[l]
+                    x = om * inv_diag[l] * (frees[l] * b_l)
+                    for _ in range(nu - 1):
+                        x = x + om * inv_diag[l] * frees[l] * (
+                            b_l - a_free(l, x)
+                        )
+                    r = frees[l] * (b_l - a_free(l, x))
+                    xs.append(x)
+                    bs.append(restrict_shard(r, l, ms[l], pmasks[l + 1]))
+                ec = tail_solve(bs[Ls])
+                for l in reversed(range(Ls)):
+                    e = prolong_shard(ec, l, ms[l + 1], pmasks[l])
+                    x = xs[l] + frees[l] * e
+                    for _ in range(nu):
+                        x = x + om * inv_diag[l] * frees[l] * (
+                            bs[l] - a_free(l, x)
+                        )
+                    ec = x
+                return ec
+
+            def M(r):
+                # V-cycle on free dofs + identity on constrained (same SPD
+                # preconditioner split as the serial path)
+                return Mcycle(r) + (1 - free) * pm0 * r
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.sum(pm0 * a * c), axes)
+
+            rhs = pm0 * (free * (b - matvec_raw(ubc)) + (1 - free) * ubc)
+            x0 = jnp.zeros_like(b)
+            r0 = rhs - matvec(x0)
+            z0 = M(r0)
+            bnorm = jnp.sqrt(dot(rhs, rhs))
+            target = tol * jnp.maximum(bnorm, 1e-30)
+
+            def cond(st):
+                x, r, z, p, rz, i = st
+                return (jnp.sqrt(dot(r, r)) > target) & (i < maxiter)
+
+            def body(st):
+                x, r, z, p, rz, i = st
+                Ap = matvec(p)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = M(r)
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, i + 1)
+
+            x, r, *_, iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, dot(r0, z0), jnp.array(0))
+            )
+            return x[None], jnp.asarray(iters)
+
+        return pcg
+
+    def solve(self, b, free_mask, u_bc, tol=1e-10, maxiter=2000):
+        """Solve A x = b with symmetric Dirichlet elimination; returns
+        (x_global, iterations) — the distributed analog of
+        ``SolverBase.solve_static``'s GMG-PCG branch."""
+        b = np.asarray(b)
+        dtype = jnp.asarray(b).dtype
+        free3 = np.asarray(free_mask).reshape(self.shape3)
+        frees_np, pmasks_np = self._level_masks(free3)
+        tail_free = free3[:: 1 << self.Ls, :: 1 << self.Ls, :: 1 << self.Ls]
+        # cache key: mask content (the tail hierarchy is baked into the
+        # compiled program) + solve params — see tests/test_cache_integrity
+        key = (
+            hash((free3 > 0.5).tobytes()),
+            float(tol),
+            int(maxiter),
+            str(dtype),
+        )
+        if key not in self._compiled:
+            G_tail = build_gmg(
+                *self._tail_n,
+                extent=self._extent,
+                free3=tail_free > 0.5,
+                nu=self.nu,
+                omega=self.omega,
+                dtype=dtype,
+            )
+            self._compiled[key] = jax.jit(
+                self._build(tol, maxiter, dtype, G_tail)
+            )
+        fn = self._compiled[key]
+
+        ms = tuple(
+            jnp.asarray(np.diff(self.cuts[l]).astype(np.int32))
+            for l in range(self.Ls + 1)
+        )
+        cs_tail = jnp.asarray(self.cuts[self.Ls][:-1].astype(np.int32))
+        x_slabs, iters = fn(
+            jnp.asarray(self._coef_np, dtype=dtype),
+            tuple(jnp.asarray(f, dtype=dtype) for f in frees_np),
+            tuple(jnp.asarray(p, dtype=dtype) for p in pmasks_np),
+            ms,
+            cs_tail,
+            jnp.asarray(
+                self._to_slabs(b.reshape(self.shape3), 0, 0), dtype=dtype
+            ),
+            jnp.asarray(
+                self._to_slabs(np.asarray(u_bc).reshape(self.shape3), 0, 0),
+                dtype=dtype,
+            ),
+        )
+        x = self._from_slabs(np.asarray(x_slabs), level=0)
+        return x.ravel(), int(np.asarray(iters).ravel()[0])

@@ -629,14 +629,48 @@ class SolverBase:
             import jax as _jax
 
             if len(_jax.devices()) > 1:
+                tol = sp.get("relative_tolerance", 1e-8)
+                maxiter = sp.get("maximum_iterations", 2000)
+                # BoxMesh lattices + scalar P1: slab-sharded stencil CG
+                # with a SHARDED GMG V-cycle (parallel/lattice.py) — the
+                # distributed preconditioner the reference gets from
+                # petsc_amg under MPI (SolverBase.py:643-672); iteration
+                # counts are mesh-independent, unlike the Jacobi halo CG
+                info = getattr(self.mesh, "lattice_info", None)
+                V = self.function_space
+                if (
+                    info is not None
+                    and type(V) is FunctionSpace
+                    and V.degree == 1
+                    and V.family == "CG"
+                ):
+                    try:
+                        ls = getattr(self, "_lattice_halo_solver", None)
+                        if ls is None:
+                            from ..parallel.lattice import LatticeHaloSolver
+
+                            ls = LatticeHaloSolver(A, info)
+                            self._lattice_halo_solver = ls
+                        else:
+                            ls.update_operator(A)
+                        x, it = ls.solve(
+                            b, free, ubc, tol=tol, maxiter=maxiter
+                        )
+                        if sp.get("monitor_convergence"):
+                            self.logger.info(
+                                "lattice halo GMG-CG: %d iters", it
+                            )
+                        return jnp.asarray(x)
+                    except ValueError as e:
+                        # lattice too small to shard -> generic halo CG
+                        self.logger.info(
+                            "lattice halo solver unavailable (%s); using "
+                            "the generic halo CG", e,
+                        )
                 from ..parallel.halo import HaloShardedSolver
 
                 hs = HaloShardedSolver(A, self.function_space.dof_coords)
-                tol = sp.get("relative_tolerance", 1e-8)
-                x, it = hs.solve(
-                    b, free, ubc, tol=tol,
-                    maxiter=sp.get("maximum_iterations", 2000),
-                )
+                x, it = hs.solve(b, free, ubc, tol=tol, maxiter=maxiter)
                 if sp.get("monitor_convergence"):
                     self.logger.info("halo-sharded CG: %d iters", it)
                 return jnp.asarray(x)

@@ -1,0 +1,180 @@
+"""Slab-sharded lattice GMG-CG (parallel/lattice.py): mesh-independent
+distributed iteration counts (VERDICT r2 item 2 — the reference gets this
+from petsc_amg under MPI, ``SolverBase.py:643-672``; the Jacobi halo CG
+needed hundreds of iterations at 64^3)."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spl
+
+from fenicssolver_tpu.core import FunctionSpace, UnitCubeMesh
+from fenicssolver_tpu.ops.structured import (
+    LatticePattern,
+    box_cells,
+    box_tet_geometry,
+)
+from fenicssolver_tpu.parallel.lattice import (
+    LatticeHaloSolver,
+    stencil_fields_from_csr,
+)
+
+
+def _poisson_csr(n, kfield=None):
+    ndof = (n + 1) ** 3
+    cells = box_cells(n, n, n)
+    Jinv, detJ = box_tet_geometry(n, n, n, dtype=np.float64)
+    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    g = np.einsum("kt,ctg->ckg", gref, Jinv)
+    w = detJ / 6.0 if kfield is None else detJ / 6.0 * kfield
+    Ae = np.einsum("cig,cjg,c->cij", g, g, w)
+    rows = np.repeat(cells, 4, axis=1).ravel()
+    cols = np.tile(cells, (1, 4)).ravel()
+    A = sp.coo_matrix((Ae.ravel(), (rows, cols)), shape=(ndof, ndof)).tocsr()
+    b = np.zeros(ndof)
+    np.add.at(b, cells.ravel(), np.repeat(detJ / 6.0 / 4.0, 4))
+    pat = LatticePattern(n, n, n)
+    free = np.ones(ndof)
+    free[pat.boundary_vertices()] = 0.0
+    return A, b, free
+
+
+def _serial(A, b, free, ubc):
+    Af = sp.diags(free) @ A @ sp.diags(free) + sp.diags(1 - free)
+    rhs = free * (b - A @ ubc) + (1 - free) * ubc
+    return spl.spsolve(Af.tocsc(), rhs)
+
+
+def test_stencil_fields_roundtrip():
+    """CSR -> 15 stencil fields -> dense matvec equals A @ x."""
+    n = 6
+    A, b, free = _poisson_csr(n)
+    shape3 = (n + 1,) * 3
+    coef = stencil_fields_from_csr(A, shape3)
+    from fenicssolver_tpu.la.gmg import OFFSETS_T, _shift
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(1).random((n + 1) ** 3)
+    x3 = jnp.asarray(x.reshape(shape3))
+    y = sum(
+        jnp.asarray(coef[oi]) * _shift(x3, d)
+        for oi, d in enumerate(OFFSETS_T)
+    )
+    assert np.allclose(np.asarray(y).ravel(), A @ x, atol=1e-12)
+
+
+def test_lattice_halo_matches_serial_and_iters_flat():
+    """Iteration counts stay ~constant across refinement (the whole point:
+    Jacobi's grew O(1/h)); solutions match a serial direct solve."""
+    assert len(jax.devices()) >= 8
+    iters_seen = []
+    for n in (16, 32):
+        A, b, free = _poisson_csr(n)
+        s = LatticeHaloSolver(
+            A, {"n": (n, n, n), "extent": (1.0, 1.0, 1.0)},
+            devices=jax.devices()[:8], gather_max=2000,
+        )
+        x, it = s.solve(b, free, np.zeros_like(b), tol=1e-10, maxiter=100)
+        x_ref = _serial(A, b, free, np.zeros_like(b))
+        err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert err < 1e-9, (n, err)
+        iters_seen.append(it)
+    assert max(iters_seen) <= 15, iters_seen
+    assert iters_seen[1] <= iters_seen[0] + 3, iters_seen
+
+
+def test_lattice_halo_variable_coefficient():
+    """The CG matvec uses the TRUE assembled fields; a 10:1 coefficient
+    field must still converge to the exact solution."""
+    assert len(jax.devices()) >= 8
+    n = 16
+    rng = np.random.default_rng(0)
+    kf = 1.0 + 9.0 * rng.random(6 * n**3)
+    A, b, free = _poisson_csr(n, kf)
+    s = LatticeHaloSolver(
+        A, {"n": (n, n, n), "extent": (1.0, 1.0, 1.0)},
+        devices=jax.devices()[:8], gather_max=2000,
+    )
+    x, it = s.solve(b, free, np.zeros_like(b), tol=1e-10, maxiter=200)
+    x_ref = _serial(A, b, free, np.zeros_like(b))
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-8, err
+
+
+def test_lattice_halo_nonzero_dirichlet():
+    """Nonzero boundary values flow through the constrained rhs exactly as
+    in SolverBase.solve_static."""
+    assert len(jax.devices()) >= 8
+    n = 16
+    A, b, free = _poisson_csr(n)
+    shape3 = (n + 1,) * 3
+    X = np.linspace(0, 1, n + 1)
+    ubc3 = np.broadcast_to(X[:, None, None], shape3).copy()  # u = x on bdy
+    ubc = np.where(free < 0.5, ubc3.ravel(), 0.0)
+    s = LatticeHaloSolver(
+        A, {"n": (n, n, n), "extent": (1.0, 1.0, 1.0)},
+        devices=jax.devices()[:8], gather_max=2000,
+    )
+    x, it = s.solve(np.zeros_like(b), free, ubc, tol=1e-10, maxiter=100)
+    # Laplace with u = x on the boundary -> u = x everywhere
+    err = np.abs(x - ubc3.ravel()).max()
+    assert err < 1e-8, err
+
+
+def test_update_operator_reuses_compile():
+    assert len(jax.devices()) >= 8
+    n = 16
+    A, b, free = _poisson_csr(n)
+    s = LatticeHaloSolver(
+        A, {"n": (n, n, n), "extent": (1.0, 1.0, 1.0)},
+        devices=jax.devices()[:8], gather_max=2000,
+    )
+    x1, _ = s.solve(b, free, np.zeros_like(b), tol=1e-10, maxiter=100)
+    ncompiled = len(s._compiled)
+    s.update_operator(A.multiply(2.0).tocsr())
+    x2, _ = s.solve(2.0 * b, free, np.zeros_like(b), tol=1e-10, maxiter=100)
+    assert len(s._compiled) == ncompiled  # no recompile
+    assert np.linalg.norm(x2 - x1) / np.linalg.norm(x1) < 1e-9
+
+
+def test_solver_layer_routes_lattice_gmg():
+    """distributed=true on a UnitCubeMesh P1 case uses the lattice GMG
+    halo solver and matches the serial solve."""
+    from fenicssolver_tpu.solvers.scalar_transport import ScalarTransportSolver
+    from tests.test_heat_transfer import base_settings, make_bcs
+
+    mesh = UnitCubeMesh(16, 16, 16)
+    Q = FunctionSpace(mesh, "CG", 1)
+    s = base_settings(Q, make_bcs())
+    serial = ScalarTransportSolver(s)
+    T_serial = serial.solve()
+
+    s2 = base_settings(Q, make_bcs())
+    s2["solver_settings"]["solver_parameters"]["distributed"] = True
+    dist = ScalarTransportSolver(s2)
+    T_dist = dist.solve()
+    assert getattr(dist, "_lattice_halo_solver", None) is not None
+    err = np.linalg.norm(T_dist.values - T_serial.values) / np.linalg.norm(
+        T_serial.values
+    )
+    assert err < 1e-9, err
+
+
+def test_lattice_halo_two_axis_mesh():
+    """The same solver over a (2, 4) device mesh with DISTINCT axis names
+    (DCN-ready topology): collectives take the axis-name tuple, so
+    multi-slice is a config change, not a rewrite (ROADMAP item 7)."""
+    assert len(jax.devices()) >= 8
+    n = 16
+    A, b, free = _poisson_csr(n)
+    s = LatticeHaloSolver(
+        A, {"n": (n, n, n), "extent": (1.0, 1.0, 1.0)},
+        devices=jax.devices()[:8], gather_max=2000,
+        mesh_axes=(("dcn", 2), ("ici", 4)),
+    )
+    assert s._axes == ("dcn", "ici")
+    x, it = s.solve(b, free, np.zeros_like(b), tol=1e-10, maxiter=100)
+    x_ref = _serial(A, b, free, np.zeros_like(b))
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-9, err
