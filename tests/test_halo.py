@@ -279,3 +279,53 @@ def test_element_distributed_routing_from_solver_layer():
         T_serial.values
     )
     assert err < 1e-8, err
+
+
+def test_halo_setup_memory_scales():
+    """Setup must be O(ndof + interface), not O(nd x ndof) (VERDICT r2
+    item 6 — the old g2l map was a dense (nd, ndof) int64 array with
+    per-rank full scans).  Pinned structurally: no stored array may have
+    the (nd, ndof) shape, the per-rank global->local lookups must be
+    O(local), and setup wall time stays in seconds at 117k dofs.  (Peak
+    host memory is dominated by the documented block-ELL tile fill-in,
+    which is the device layout itself, so an absolute byte bound would
+    only measure that.)"""
+    import time
+
+    import scipy.sparse as sp
+
+    from fenicssolver_tpu.ops.structured import (
+        box_cells,
+        box_tet_geometry,
+    )
+
+    n = 48  # 117649 dofs, ~1.7M nnz
+    ndof = (n + 1) ** 3
+    cells = box_cells(n, n, n)
+    Jinv, detJ = box_tet_geometry(n, n, n, dtype=np.float64)
+    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    g = np.einsum("kt,ctg->ckg", gref, Jinv)
+    Ae = np.einsum("cig,cjg,c->cij", g, g, detJ / 6.0)
+    rows = np.repeat(cells, 4, axis=1).ravel()
+    cols = np.tile(cells, (1, 4)).ravel()
+    A = sp.coo_matrix((Ae.ravel(), (rows, cols)), shape=(ndof, ndof)).tocsr()
+    coords = np.stack(
+        np.meshgrid(*([np.arange(n + 1.0)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    t0 = time.perf_counter()
+    hs = HaloShardedSolver(A, coords, devices=jax.devices()[:8])
+    dt = time.perf_counter() - t0
+    assert dt < 60.0, dt
+    # structural: nothing stored is a dense (nd, ndof) map
+    nd = hs.n_dev
+    for name, v in vars(hs).items():
+        arrs = v if isinstance(v, (list, tuple)) else [v]
+        for a in arrs:
+            if hasattr(a, "shape") and tuple(getattr(a, "shape", ())) == (
+                nd,
+                ndof,
+            ):
+                raise AssertionError(f"dense (nd, ndof) array in {name}")
+    # the lookup tables are O(local): keys per rank ~ ndof/nd + interface
+    for li in hs._l2l:
+        assert len(li._keys) < ndof // nd + 3 * (n + 1) ** 2 + 64
