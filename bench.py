@@ -261,12 +261,24 @@ def tpu_run(n, tol, maxiter):
     return ndof, dt, int(iters), float(res), np.asarray(x), setup_s
 
 
-def tpu_run_stencil(n, tol, maxiter):
+def tpu_run_stencil(n, tol, maxiter, bf16=False):
     """Structured-lattice fast path: element stiffness evaluation, then
     global assembly as 96 static slice-adds into per-vertex 15-tap stencil
     coefficient fields (``ops/structured.stencil_entry_table``), PCG with
     the masked stencil operator + GMG V-cycle.  No scatters or gathers
-    anywhere on the device hot path."""
+    anywhere on the device hot path.
+
+    Timing: REPS distinct solves run inside ONE dispatch via ``lax.scan``
+    (distinct detJ per reap defeats the axon executor's input dedup); the
+    measured 26 ms host<->TPU tunnel round-trip is amortized 1/REPS
+    instead of polluting every solve (round-2's per-dispatch loop paid it
+    per rep — ~half the recorded wall at 0.91M dofs).
+
+    ``bf16=True``: mixed-precision variant — the stencil fields, PCG
+    vectors and GMG V-cycle run in bfloat16 with f32 scalars/reductions,
+    wrapped in f32 iterative refinement (recompute the TRUE f32 residual,
+    re-solve, add) until the f32 residual meets ``tol``.  Same u_max
+    check as f32."""
     import jax
     import jax.numpy as jnp
     from fenicssolver_tpu.la import gmg
@@ -302,6 +314,7 @@ def tpu_run_stencil(n, tol, maxiter):
     free3 = jnp.asarray(free3_np)
     t_gmg = time.perf_counter()
     G = gmg.build_gmg(n, n, n)
+    G_bf = gmg.build_gmg(n, n, n, dtype=jnp.bfloat16) if bf16 else None
     _log(
         f"gmg setup {time.perf_counter() - t_gmg:.1f}s (levels={len(G.levels)})"
     )
@@ -313,9 +326,11 @@ def tpu_run_stencil(n, tol, maxiter):
         "BENCH_ASSEMBLY", "pallas" if jax.default_backend() == "tpu" else "xla"
     ) == "pallas"
     gref_dev = jnp.asarray(gref_np)
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    inner_iters = int(os.environ.get("BENCH_BF16_INNER", "4"))
 
-    @jax.jit
-    def step(JinvT, detJ):
+    def assemble(JinvT, detJ):
         if use_pallas:
             from fenicssolver_tpu.ops.pallas_kernels import p1_stiffness_kernel
 
@@ -356,7 +371,9 @@ def tpu_run_stencil(n, tol, maxiter):
                 b3 = b3.at[
                     ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
                 ].add(detJ6[t] / 24.0)
+        return coef, b3
 
+    def make_apply(coef, fr):
         def apply3(x3):
             y = coef[CENTER_IDX] * x3
             for oi, d in enumerate(OFFSETS_T):
@@ -365,15 +382,19 @@ def tpu_run_stencil(n, tol, maxiter):
             return y
 
         def matvec(x3):
-            return free3 * apply3(free3 * x3) + (1 - free3) * x3
+            return fr * apply3(fr * x3) + (1 - fr) * x3
 
+        return matvec
+
+    def dot(a, c):
+        return jnp.vdot(a.ravel().astype(f32), c.ravel().astype(f32))
+
+    def solve_f32(coef, b3):
+        matvec = make_apply(coef, free3)
         rhs = free3 * b3
 
         def M(r3):
             return gmg.vcycle(G, r3.ravel()).reshape(r3.shape)
-
-        def dot(a, c):
-            return jnp.vdot(a.ravel(), c.ravel())
 
         r = rhs
         z = M(r)
@@ -403,29 +424,113 @@ def tpu_run_stencil(n, tol, maxiter):
         res = jnp.sqrt(dot(r, r)) / bnorm
         return x, iters, res
 
+    def solve_bf16(coef, b3):
+        """bf16 stencil fields + bf16 PCG vectors + bf16 V-cycle, f32
+        scalars, wrapped in f32 iterative refinement: each pass solves the
+        f32-residual correction system in bf16 (unit-normalized to dodge
+        bf16 range loss), then the TRUE f32 residual is recomputed with
+        the exact f32 operator — accuracy gated by f32, speed by bf16."""
+        coef_bf = coef.astype(bf)
+        free_bf = free3.astype(bf)
+        matvec_f32 = make_apply(coef, free3)
+        matvec_bf = make_apply(coef_bf, free_bf)
+
+        def M_bf(r3):
+            return gmg.vcycle(G_bf, r3.ravel()).reshape(r3.shape)
+
+        def inner(rhs_bf):
+            r = rhs_bf
+            z = M_bf(r)
+            p = z
+            rz = dot(r, z)
+
+            def body(i, st):
+                x, r, z, p, rz = st
+                Ap = matvec_bf(p)
+                alpha = (rz / dot(p, Ap)).astype(bf)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = M_bf(r)
+                rz_new = dot(r, z)
+                beta = (rz_new / rz).astype(bf)
+                return (x, r, z, p * beta + z, rz_new)
+
+            x0 = jnp.zeros((N, N, N), dtype=bf)
+            x, *_ = jax.lax.fori_loop(
+                0, inner_iters, body, (x0, r, z, p, rz)
+            )
+            return x
+
+        rhs = free3 * b3
+        bnorm = jnp.sqrt(dot(rhs, rhs))
+
+        # stop on tol OR when the TRUE-residual recomputation stalls: the
+        # f32 cancellation floor (~eps_f32 * cond) sits above tol at large
+        # n, and further passes cannot pass it (the f32 path's 1e-6 is a
+        # RECURRENCE residual — a more optimistic quantity); solution
+        # quality is checked via u_max against the f32 run instead
+        def cond(st):
+            x, r, res_prev, passes = st
+            res = jnp.sqrt(dot(r, r))
+            improving = res < 0.5 * res_prev
+            return (res > tol * bnorm) & (passes < 8) & improving
+
+        def body(st):
+            x, r, res_prev, passes = st
+            rn = jnp.sqrt(dot(r, r))
+            d = inner((r / rn).astype(bf)).astype(f32) * rn
+            x = x + free3 * d
+            r = rhs - matvec_f32(x)
+            return (x, r, rn, passes + 1)
+
+        x0 = jnp.zeros((N, N, N), dtype=f32)
+        x, r, _, passes = jax.lax.while_loop(
+            cond, body, (x0, rhs, jnp.asarray(jnp.inf, f32), jnp.array(0))
+        )
+        res = jnp.sqrt(dot(r, r)) / bnorm
+        # "iterations" = total bf16 PCG iterations across passes
+        return x, passes * inner_iters, res
+
+    solve_one = solve_bf16 if bf16 else solve_f32
+
+    def one(JinvT, detJ):
+        coef, b3 = assemble(JinvT, detJ)
+        return solve_one(coef, b3)
+
+    @jax.jit
+    def steps(JinvT, detJs):
+        """REPS assembly+solves in ONE dispatch (lax.scan over distinct
+        detJ inputs): tunnel latency amortized, dedup defeated."""
+
+        def body(_, detJ):
+            x, iters, res = one(JinvT, detJ)
+            return 0.0, (jnp.max(x), iters, res)
+
+        _, (umaxes, its, rs) = jax.lax.scan(body, 0.0, detJs)
+        return umaxes, its, rs
+
+    reps = int(os.environ.get("BENCH_REPS", "4"))
+    mk = lambda seed: jnp.stack(
+        [detJ_d * (1.0 + 1e-6 * (seed + i + 1)) for i in range(reps)]
+    )
+    detJs_warm = jax.device_put(mk(0))
+    detJs_time = jax.device_put(mk(reps))
+    jax.block_until_ready((detJs_warm, detJs_time))
     setup_s = time.perf_counter() - t_setup0
     t_c = time.perf_counter()
-    x, iters, res = step(JinvT, detJ_d)
-    x.block_until_ready()
+    umaxes, its, rs = steps(JinvT, detJs_warm)
+    jax.block_until_ready(umaxes)
+    iters, res = int(its[-1]), float(rs[-1])
     _log(
-        f"compile+first run {time.perf_counter() - t_c:.1f}s "
-        f"(iters={int(iters)}, res={float(res):.2e})"
+        f"compile+warm ({reps} solves) {time.perf_counter() - t_c:.1f}s "
+        f"(iters={iters}, res={res:.2e})"
     )
-    reps = 3
-    # distinct detJ per rep: the axon executor deduplicates repeated
-    # (executable, inputs) pairs, which would fake the timing loop
-    import jax as _jax
-
-    detJs = [
-        _jax.device_put(detJ_d * (1.0 + 1e-6 * (i + 1))) for i in range(reps)
-    ]
-    _jax.block_until_ready(detJs)
     t0 = time.perf_counter()
-    for i in range(reps):
-        x, iters, res = step(JinvT, detJs[i])
-        x.block_until_ready()
+    umaxes, its, rs = steps(JinvT, detJs_time)
+    umax = float(umaxes[-1])  # host fetch forces completion
     dt = (time.perf_counter() - t0) / reps
-    return ndof, dt, int(iters), float(res), np.asarray(x).ravel(), setup_s
+    x_like = np.array([umax], dtype=np.float32)  # umax is the check value
+    return ndof, dt, int(its[-1]), float(rs[-1]), x_like, setup_s
 
 
 # ---------------------------------------------------------------------------
@@ -697,23 +802,38 @@ def tpu_run_elasticity(n, tol, maxiter):
         res = jnp.sqrt(dot(r, r)) / bnorm
         return x, iters, res
 
+    @jax.jit
+    def steps(mus, lam3):
+        """REPS assembly+solves in ONE dispatch (scan over distinct mu
+        fields): the ~26 ms tunnel round-trip is amortized 1/REPS."""
+
+        def body(_, mu3):
+            x, iters, res = step(mu3, lam3)
+            return 0.0, (jnp.max(jnp.abs(x)), iters, res)
+
+        _, (umaxes, its, rs) = jax.lax.scan(body, 0.0, mus)
+        return umaxes, its, rs
+
+    reps = int(os.environ.get("BENCH_REPS", "4"))
+    mk = lambda seed: jnp.stack(
+        [mu3 * (1.0 + 1e-6 * (seed + i + 1)) for i in range(reps)]
+    )
+    mus_warm = jax.device_put(mk(0))
+    mus_time = jax.device_put(mk(reps))
+    jax.block_until_ready((mus_warm, mus_time))
     setup_s = time.perf_counter() - t_setup0
     t_c = time.perf_counter()
-    x, iters, res = step(mu3, lam3)
-    x.block_until_ready()
-    _log(f"elasticity compile+first run {time.perf_counter() - t_c:.1f}s "
-         f"(iters={int(iters)}, res={float(res):.2e})")
-    reps = 3
-    import jax as _jax
-
-    mus = [_jax.device_put(mu3 * (1.0 + 1e-6 * (i + 1))) for i in range(reps)]
-    _jax.block_until_ready(mus)
+    umaxes, its, rs = steps(mus_warm, lam3)
+    jax.block_until_ready(umaxes)
+    _log(f"elasticity compile+warm ({reps} solves) "
+         f"{time.perf_counter() - t_c:.1f}s "
+         f"(iters={int(its[-1])}, res={float(rs[-1]):.2e})")
     t0 = time.perf_counter()
-    for i in range(reps):
-        x, iters, res = step(mus[i], lam3)
-        x.block_until_ready()
+    umaxes, its, rs = steps(mus_time, lam3)
+    umax = float(umaxes[-1])  # host fetch forces completion
     dt = (time.perf_counter() - t0) / reps
-    return ndof, dt, int(iters), float(res), np.asarray(x).ravel(), setup_s
+    x_like = np.array([umax], dtype=np.float32)
+    return ndof, dt, int(its[-1]), float(rs[-1]), x_like, setup_s
 
 
 def cpu_baseline_elasticity(n, tol, maxiter):
@@ -894,12 +1014,17 @@ def cpu_baseline_stencil(n, tol, maxiter):
     return ndof, dt, niter[0], xf
 
 
-def _child_main(n, tol):
+def _child_main(n, tol, bf16=False):
     """Run the TPU measurement in a child process (crash/hang isolation:
     the axon TPU tunnel occasionally wedges; the parent retries smaller)."""
     fmt = os.environ.get("BENCH_FORMAT", "stencil")
-    run = tpu_run_stencil if fmt == "stencil" else tpu_run
-    ndof, dt, iters, res, x, setup_s = run(n, tol, maxiter=3000)
+    if bf16:
+        ndof, dt, iters, res, x, setup_s = tpu_run_stencil(
+            n, tol, maxiter=3000, bf16=True
+        )
+    else:
+        run = tpu_run_stencil if fmt == "stencil" else tpu_run
+        ndof, dt, iters, res, x, setup_s = run(n, tol, maxiter=3000)
     print(
         "CHILD_RESULT "
         + json.dumps(
@@ -957,6 +1082,9 @@ def main():
     tol = 1e-6
     if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child":
         _child_main(int(sys.argv[2]), tol)
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child-bf16":
+        _child_main(int(sys.argv[2]), tol, bf16=True)
         return
     if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child-elas":
         n = int(sys.argv[2])
@@ -1034,6 +1162,32 @@ def main():
                 },
             }
 
+    # bf16 mixed-precision variant at the SAME recorded size (VERDICT r2
+    # item 5): f32-refined bf16 GMG-PCG, same u_max check; recorded in
+    # detail whatever the speedup turns out to be
+    bf16_rec = None
+    if (
+        os.environ.get("BENCH_BF16", "1") == "1"
+        and fmt == "stencil"
+        and d is not None
+        and "note" not in d
+    ):
+        d_bf = _run_child("--tpu-child-bf16", n_used, 420)
+        if d_bf is not None:
+            bf16_rec = {
+                "dofs_per_sec": round(d_bf["ndof"] / d_bf["dt"], 1),
+                "speedup_vs_f32": round(
+                    (d_bf["ndof"] / d_bf["dt"]) / tpu_dofs_per_sec, 3
+                ),
+                # same-solution check: u_max agreement with the f32 run
+                "umax_rel_diff_vs_f32": round(
+                    abs(d_bf["umax"] - umax_tpu_val)
+                    / max(abs(umax_tpu_val), 1e-30),
+                    9,
+                ),
+                "tpu": d_bf,
+            }
+
     # optional UPGRADE pass: after the >= 1M record and the elasticity
     # variant are safely in hand, try the 2.1M-dof size with its own
     # bounded budget; on success it replaces the headline, on timeout the
@@ -1088,6 +1242,8 @@ def main():
     }
     if elas is not None:
         result["detail"]["elasticity3d"] = elas
+    if bf16_rec is not None:
+        result["detail"]["bf16"] = bf16_rec
     if upgrade is not None:
         result["detail"]["upgrade_pass"] = "landed n=%d" % n_up
     if "note" in d:

@@ -414,6 +414,13 @@ class MixedFunctionSpace(_SpaceBase):
         return _SubspaceView(self, i, "block")
 
     @property
+    def dof_coords(self):
+        """Concatenated subspace dof coordinates (the geometric partition
+        key for the distributed halo solvers: u and p dofs at the same
+        point land on the same rank)."""
+        return np.concatenate([s.dof_coords for s in self.subspaces], axis=0)
+
+    @property
     def num_sub_spaces(self):
         return len(self.subspaces)
 

@@ -2,10 +2,13 @@
 
 TPU-native replacement for the reference's PETSc ``petsc_amg`` smoothed
 aggregation with Chebyshev/Jacobi smoothing and rigid-body near-nullspace
-(``SolverBase.py:643-705``).  The hierarchy is built once on the host
-(scipy sparse algebra — setup path); the V-cycle runs on device: every
-level's operator, prolongator and restriction live as jnp CSR arrays and the
-cycle is a fixed-depth jit-compatible function used as a CG preconditioner.
+(``SolverBase.py:643-705``).  The hierarchy build is scipy-free: all
+sparse products (smoothed prolongator, Galerkin RAP) run through the
+sort/segment-reduce kernels in ``la/sparse_algebra`` (the formulation
+that maps onto device sort + segment_sum).  The V-cycle runs on device:
+every level's operator, prolongator and restriction live as jnp
+CSR/block-ELL arrays and the cycle is a fixed-depth jit-compatible
+function used as a CG preconditioner.
 """
 
 from __future__ import annotations
@@ -17,16 +20,18 @@ from .sparse import csr_from_scipy
 
 
 def _strength_graph(A, theta):
-    """Symmetric strength-of-connection filter."""
-    import scipy.sparse as sp
+    """Symmetric strength-of-connection filter (scipy-free: one vectorized
+    pass over the COO triples, ``la/sparse_algebra``)."""
+    from .sparse_algebra import HostCSR, coo_to_csr, csr_rows
 
     d = np.sqrt(np.abs(A.diagonal()))
     d[d == 0] = 1.0
-    C = A.tocoo()
-    keep = np.abs(C.data) >= theta * d[C.row] * d[C.col]
-    keep |= C.row == C.col
-    return sp.csr_matrix(
-        (C.data[keep], (C.row[keep], C.col[keep])), shape=A.shape
+    rows = csr_rows(A)
+    cols = A.indices
+    keep = np.abs(A.data) >= theta * d[rows] * d[cols]
+    keep |= rows == cols
+    return coo_to_csr(
+        rows[keep], cols[keep], A.data[keep], A.shape, sum_duplicates=False
     )
 
 
@@ -69,7 +74,7 @@ def _tentative_prolongator(agg, n_agg, B):
 
     B: (n, k) near-nullspace block (k=1 constants for scalar problems,
     rigid-body modes for elasticity)."""
-    import scipy.sparse as sp
+    from .sparse_algebra import coo_to_csr
 
     n, k = B.shape
     rows, cols, vals = [], [], []
@@ -95,12 +100,12 @@ def _tentative_prolongator(agg, n_agg, B):
             vals.append(Q[:, :, j].reshape(-1))
         for t, a in enumerate(a_ids):
             Bc[a * k : a * k + kk, :] = R[t, :kk, :]
-    P = sp.csr_matrix(
-        (
-            np.concatenate(vals),
-            (np.concatenate(rows), np.concatenate(cols)),
-        ),
-        shape=(n, n_agg * k),
+    P = coo_to_csr(
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals),
+        (n, n_agg * k),
+        sum_duplicates=False,
     )
     return P, Bc
 
@@ -130,20 +135,39 @@ class AMGPreconditioner:
         (``la/block_ell.py``) so smoothing/residual matvecs stream full
         (8,128) lanes instead of scalar gathers — the TPU hot-path format —
         falling back to CSR per level once ``bell_budget_mb`` of tile
-        memory is spent (fill-in is 10-25x CSR)."""
-        import scipy.sparse as sp
+        memory is spent (fill-in is 10-25x CSR).
 
+        The BUILD path is scipy-free (VERDICT r2 item 7): all sparse
+        products (smoothed prolongator, Galerkin RAP, transposes,
+        submatrix extraction) run through the sort/segment-reduce kernels
+        in ``la/sparse_algebra`` — the formulation that maps directly onto
+        the device sort + segment_sum primitives."""
         from .block_ell import BC, BR
+        from .sparse_algebra import (
+            HostCSR,
+            from_scipy,
+            l1_row_sums as _l1_row_sums,
+            rap,
+            sp_add,
+            sp_diag_scale,
+            sp_matmat,
+            sp_submatrix,
+            sp_transpose,
+        )
 
         self.presmooth = presmooth
         self.postsmooth = postsmooth
-        A_full = A_scipy.tocsr()
+        A_full = (
+            A_scipy
+            if isinstance(A_scipy, HostCSR)
+            else from_scipy(A_scipy)
+        )
         if free_mask is not None:
             free = np.asarray(free_mask).astype(bool)
             self._free_idx = jnp.asarray(np.nonzero(free)[0])
             self._n_full = A_full.shape[0]
             self._free_np = free
-            A = A_full[free][:, free].tocsr()
+            A = sp_submatrix(A_full, free)
         else:
             self._free_idx = None
             A = A_full
@@ -156,10 +180,6 @@ class AMGPreconditioner:
         )
         if free_mask is not None and nullspace is not None:
             B = B[free]
-        def _l1_row_sums(M):
-            s = np.abs(M).sum(axis=1)
-            s = s.A1 if hasattr(s, "A1") else np.asarray(s).ravel()
-            return np.maximum(s, 1e-300)
 
         def _estimate_l1_lam(M, l1_np):
             """Power-iteration estimate of lam_max(L1^-1 M), clipped to the
@@ -167,7 +187,7 @@ class AMGPreconditioner:
             x = np.sin(np.arange(M.shape[0], dtype=np.float64)) + 0.5
             lam_est = 1.0
             for _ in range(12):
-                x = (M @ x) / l1_np
+                x = M.matvec(x) / l1_np
                 nx = np.linalg.norm(x)
                 if nx == 0:
                     break
@@ -191,26 +211,24 @@ class AMGPreconditioner:
             # momentum block with advection) into +-inf coarse operators.
             dA = A.diagonal()
             dA = np.where(np.abs(dA) < 1e-300, 1e-300, dA)
-            Dinv = sp.diags(1.0 / dA)
+            DA = sp_diag_scale(A, d_left=1.0 / dA)
             # estimate spectral radius of D^-1 A with a few power iterations
             x = np.sin(np.arange(A.shape[0], dtype=np.float64))
-            DA = Dinv @ A
             lam = 2.0
             for _ in range(8):
-                x = DA @ x
+                x = DA.matvec(x)
                 nx = np.linalg.norm(x)
                 if nx == 0:
                     break
                 lam = nx if _ == 7 else lam
                 x /= nx
-            P = (sp.eye(A.shape[0]) - (omega / lam) * (Dinv @ A)) @ P0
-            P = sp.csr_matrix(P)
-            Ac = (P.T @ A @ P).tocsr()
+            P = sp_add(P0, sp_matmat(DA, P0), 1.0, -(omega / lam))
+            Ac = rap(A, P)
             if (not np.isfinite(Ac.data).all()) or Ac.diagonal().min() <= 0:
                 # smoothed P degenerated (nonsymmetric/indefinite level):
                 # fall back to plain (unsmoothed) aggregation for this level
                 P = P0
-                Ac = (P.T @ A @ P).tocsr()
+                Ac = rap(A, P)
             A_dev = None
             if spmv == "bell" and bell_budget_mb > 0:
                 from .block_ell import BlockELL, build_block_ell
@@ -241,7 +259,7 @@ class AMGPreconditioner:
                     A=A_dev,
                     diag=jnp.asarray(np.maximum(A.diagonal(), 1e-300)),
                     P=csr_from_scipy_rect(P),
-                    R=csr_from_scipy_rect(sp.csr_matrix(P.T)),
+                    R=csr_from_scipy_rect(sp_transpose(P)),
                     # Chebyshev smoothing on the l1-scaled operator (hypre's
                     # l1-scaling + Chebyshev): row-wise |A| sums guarantee
                     # lam(L1^-1 A) <= 2 by Gershgorin, so smoothing NEVER

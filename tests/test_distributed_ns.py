@@ -1,0 +1,113 @@
+"""Distributed NON-SPD solves (VERDICT r2 item 3): the halo layout now
+covers saddle-point / nonsymmetric systems, so ``distributed: true`` works
+for EVERY solver instead of silently serializing — the reference gets this
+from PETSc under MPI (``FenicsSolver/SolverBase.py:102-118``)."""
+
+import jax
+import numpy as np
+import pytest
+
+from fenicssolver_tpu.solvers.navier_stokes import CoupledNavierStokesSolver
+
+from .test_navier_stokes import channel_settings, check_poiseuille
+
+
+def test_halo_krylov_nonsymmetric_matches_serial():
+    """Distributed BiCGStab/GMRES on a nonsymmetric system == direct."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    from fenicssolver_tpu.parallel.halo import HaloShardedSolver
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(3)
+    n = 20
+    N = (n + 1) ** 2
+    A = sp.diags(
+        [
+            4.0 * np.ones(N),
+            (-0.7) * np.ones(N - 1),
+            (-1.3) * np.ones(N - 1),
+            -1.0 * np.ones(N - (n + 1)),
+            -1.0 * np.ones(N - (n + 1)),
+        ],
+        [0, 1, -1, n + 1, -(n + 1)],
+    ).tocsr()
+    coords = np.stack(
+        np.meshgrid(np.arange(n + 1.0), np.arange(n + 1.0), indexing="ij"),
+        -1,
+    ).reshape(-1, 2)
+    b = rng.random(N)
+    free = np.ones(N)
+    free[: n + 1] = 0.0
+    ubc = np.zeros(N)
+    ubc[: n + 1] = 1.0
+    hs = HaloShardedSolver(A, coords, devices=jax.devices()[:8])
+    Af = sp.diags(free) @ A @ sp.diags(free) + sp.diags(1 - free)
+    x_ref = spl.spsolve(Af.tocsc(), free * (b - A @ ubc) + (1 - free) * ubc)
+    for method in ("bicgstab", "gmres", "fgmres"):
+        x, it, res = hs.solve_krylov(
+            b, free, ubc, method=method, tol=1e-12, maxiter=3000, restart=80
+        )
+        err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert err < 1e-9, (method, err)
+        assert it > 0 and res < 1e-10
+
+
+def test_halo_update_values_same_pattern():
+    """update_values refreshes the tiles without rebuilding structure."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    from fenicssolver_tpu.parallel.halo import HaloShardedSolver
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(7)
+    n = 12
+    N = (n + 1) ** 2
+    A = sp.diags(
+        [4.0 * np.ones(N), -np.ones(N - 1), -np.ones(N - 1)], [0, 1, -1]
+    ).tocsr()
+    coords = rng.random((N, 2))
+    hs = HaloShardedSolver(A, coords, devices=jax.devices()[:8])
+    free = np.ones(N)
+    b = rng.random(N)
+    A2 = (A * 3.0).tocsr()
+    hs.update_values(A2)
+    x, it, res = hs.solve_krylov(
+        b, free, np.zeros(N), method="bicgstab", tol=1e-12, maxiter=2000
+    )
+    x_ref = spl.spsolve(A2.tocsc(), b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-9
+
+
+def test_distributed_ns_channel_matches_serial():
+    """A distributed NS channel case (Newton + halo FGMRES with the
+    fieldsplit-diagonal preconditioner) matches the serial solve at 1e-8
+    and reproduces Poiseuille."""
+    assert len(jax.devices()) >= 8
+    serial = CoupledNavierStokesSolver(channel_settings(6, 6))
+    up_serial = serial.solve()
+
+    s = channel_settings(6, 6)
+    s["solver_settings"]["solver_parameters"]["distributed"] = True
+    dist = CoupledNavierStokesSolver(s)
+    up_dist = dist.solve()
+    assert getattr(dist, "_ns_halo_solver", None) is not None
+    err = np.linalg.norm(up_dist.values - up_serial.values) / np.linalg.norm(
+        up_serial.values
+    )
+    assert err < 1e-8, err
+    check_poiseuille(dist, up_dist, 1e-8, 1e-7)
+
+
+def test_distributed_picard_routes_sharded():
+    """The Picard path's linear solves (spd=False) also run through the
+    distributed halo Krylov branch in solve_static."""
+    assert len(jax.devices()) >= 8
+    s = channel_settings(6, 6)
+    s["solver_settings"]["solver_parameters"]["distributed"] = True
+    dist = CoupledNavierStokesSolver(s)
+    dist.using_nonlinear_solver = False
+    up = dist.solve()
+    check_poiseuille(dist, up, 1e-3, 1e-2)

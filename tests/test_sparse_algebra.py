@@ -1,0 +1,127 @@
+"""Sort-based sparse algebra for the AMG build (la/sparse_algebra.py):
+every kernel checked against scipy on random unstructured matrices, and a
+guard that the AMG hierarchy builds with scipy IMPORTS DISABLED (VERDICT
+r2 item 7: no scipy on the build path)."""
+
+import builtins
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from fenicssolver_tpu.la.sparse_algebra import (
+    HostCSR,
+    coo_to_csr,
+    from_scipy,
+    l1_row_sums,
+    rap,
+    sp_add,
+    sp_diag_scale,
+    sp_matmat,
+    sp_submatrix,
+    sp_transpose,
+)
+
+
+def _rand(m, n, density, seed):
+    return sp.random(m, n, density=density, random_state=seed).tocsr()
+
+
+def _eq(H: HostCSR, S, tol=1e-13):
+    S = S.tocsr()
+    S.sum_duplicates()
+    S.eliminate_zeros()
+    D = np.abs(H.toarray() - S.toarray()).max()
+    assert D < tol, D
+
+
+def test_matmat_vs_scipy():
+    A = _rand(40, 60, 0.1, 0)
+    B = _rand(60, 30, 0.15, 1)
+    _eq(sp_matmat(from_scipy(A), from_scipy(B)), A @ B)
+
+
+def test_transpose_add_scale_vs_scipy():
+    A = _rand(50, 50, 0.1, 2)
+    B = _rand(50, 50, 0.12, 3)
+    _eq(sp_transpose(from_scipy(A)), A.T)
+    _eq(sp_add(from_scipy(A), from_scipy(B), 2.0, -0.5), 2.0 * A - 0.5 * B)
+    dl = np.arange(1.0, 51.0)
+    dr = np.linspace(0.5, 2.0, 50)
+    _eq(
+        sp_diag_scale(from_scipy(A), dl, dr),
+        sp.diags(dl) @ A @ sp.diags(dr),
+    )
+
+
+def test_rap_and_submatrix_vs_scipy():
+    A = _rand(80, 80, 0.08, 4)
+    A = (A + A.T + 10 * sp.eye(80)).tocsr()
+    P = _rand(80, 20, 0.1, 5)
+    _eq(rap(from_scipy(A), from_scipy(P)), P.T @ A @ P, tol=1e-12)
+    mask = np.zeros(80, bool)
+    mask[::3] = True
+    _eq(sp_submatrix(from_scipy(A), mask), A[mask][:, mask])
+    assert np.allclose(
+        l1_row_sums(from_scipy(A)),
+        np.asarray(np.abs(A).sum(axis=1)).ravel(),
+    )
+
+
+def test_matvec_and_diagonal():
+    A = _rand(70, 70, 0.1, 6) + sp.eye(70)
+    H = from_scipy(A.tocsr())
+    x = np.random.default_rng(7).random(70)
+    assert np.allclose(H.matvec(x), A @ x)
+    assert np.allclose(H.diagonal(), A.tocsr().diagonal())
+
+
+def test_amg_builds_without_scipy(monkeypatch):
+    """The whole AMG hierarchy must build with scipy imports DISABLED
+    once the input matrix is in HostCSR form."""
+    from fenicssolver_tpu.core import FunctionSpace, UnitSquareMesh
+    from fenicssolver_tpu.la.amg import AMGPreconditioner
+    from fenicssolver_tpu.ops import assembly, geometry
+    import jax.numpy as jnp
+
+    mesh = UnitSquareMesh(40, 40)  # big enough for >= 2 levels
+    # perturb interior nodes so the mesh is genuinely unstructured
+    rng = np.random.default_rng(0)
+    interior = ~(
+        (mesh.coords[:, 0] % 1.0 == 0) | (mesh.coords[:, 1] % 1.0 == 0)
+    )
+    mesh.coords[interior] += 0.2 / 40 * (rng.random((interior.sum(), 2)) - 0.5)
+    V = FunctionSpace(mesh, "CG", 1)
+    tab = geometry.basis_tables(mesh.tdim, 1, 2)
+    dphi = jnp.asarray(tab.dphi)
+    qw = jnp.asarray(tab.qw)
+
+    def kern(ue, geom, aux):
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        g = geometry.interp_grad(dphig, ue)
+        return jnp.einsum("q,qg,qig->i", qw, g, dphig) * geom.detJ
+
+    ctx = geometry.build_cell_context(V, 2)
+    form = assembly.Form(space=V)
+    form.cell_terms.append(assembly.CellTerm(kernel=kern, ctx=ctx))
+    form.finalize()
+    A = assembly.assemble_jacobian(form, jnp.zeros(V.ndof))
+    H = from_scipy(A.to_scipy())
+    free = np.ones(V.ndof, bool)
+    free[V.facet_dofs(mesh.exterior_facets())] = False
+
+    real_import = builtins.__import__
+
+    def no_scipy(name, *a, **k):
+        if name.startswith("scipy"):
+            raise ImportError("scipy forbidden on the AMG build path")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_scipy)
+    M = AMGPreconditioner(H, free_mask=free)
+    monkeypatch.undo()
+    assert len(M.levels) >= 1
+    # and it still works as a preconditioner
+    r = np.random.default_rng(1).random(V.ndof)
+    z = np.asarray(M(jnp.asarray(r)))
+    assert np.isfinite(z).all()
