@@ -322,19 +322,46 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
     gref_np = np.array(
         [[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32
     )
-    use_pallas = os.environ.get(
-        "BENCH_ASSEMBLY", "pallas" if jax.default_backend() == "tpu" else "xla"
-    ) == "pallas"
+    mode = os.environ.get(
+        "BENCH_ASSEMBLY",
+        "pallas-sym" if jax.default_backend() == "tpu" else "xla",
+    )
     gref_dev = jnp.asarray(gref_np)
     bf = jnp.bfloat16
     f32 = jnp.float32
     inner_iters = int(os.environ.get("BENCH_BF16_INNER", "4"))
+    from fenicssolver_tpu.ops.pallas_kernels import SYM10
+
+    # group the 96 stencil-entry contributions by target offset field so
+    # each of the 15 coef fields is ONE fused sum of zero-padded blocks —
+    # the former sequential .at[].add slice-adds serialized into ~96
+    # kernels and dominated assembly wall (~25 ms of the 64 ms total at
+    # 2.1M dofs); padded sums fuse to one kernel per field
+    by_oi = {}
+    for t, a, b, oi, ca in table:
+        by_oi.setdefault(oi, []).append((SYM10[a][b], (a, b), t, ca))
+
+    def _pad_block(blk, ca):
+        return jnp.pad(
+            blk,
+            ((ca[0], 1 - ca[0]), (ca[1], 1 - ca[1]), (ca[2], 1 - ca[2])),
+        )
 
     def assemble(JinvT, detJ):
-        if use_pallas:
+        if mode == "pallas-sym":
+            from fenicssolver_tpu.ops.pallas_kernels import (
+                p1_stiffness_sym_kernel,
+            )
+
+            Ae = p1_stiffness_sym_kernel(JinvT, detJ)  # (10, nc) packed
+            Ae6 = Ae.reshape(10, 6, n, n, n)
+            pick = lambda si, ab, t: Ae6[si, t]
+        elif mode == "pallas":
             from fenicssolver_tpu.ops.pallas_kernels import p1_stiffness_kernel
 
             Ae = p1_stiffness_kernel(JinvT, detJ, gref_dev)  # (4,4,nc)
+            Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+            pick = lambda si, ab, t: Ae6[ab[0], ab[1], t]
         else:
             g = [
                 [
@@ -356,21 +383,23 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
                     for a in range(4)
                 ]
             )
-        # global assembly: static slice-adds into stencil coefficient
-        # fields (cells are type-major over the cube lattice)
-        Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+            Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+            pick = lambda si, ab, t: Ae6[ab[0], ab[1], t]
         detJ6 = detJ.reshape(6, n, n, n)
-        coef = jnp.zeros((len(OFFSETS_T), N, N, N), dtype=jnp.float32)
-        for t, a, b, oi, ca in table:
-            coef = coef.at[
-                oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
-            ].add(Ae6[a, b, t])
-        b3 = jnp.zeros((N, N, N), dtype=jnp.float32)
-        for t, path in enumerate(TET_PATHS):
-            for ca in path:  # f = 1 load: detJ/24 to each tet vertex
-                b3 = b3.at[
-                    ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
-                ].add(detJ6[t] / 24.0)
+        coef = jnp.stack(
+            [
+                sum(
+                    _pad_block(pick(si, ab, t), ca)
+                    for si, ab, t, ca in by_oi[oi]
+                )
+                for oi in range(len(OFFSETS_T))
+            ]
+        )
+        b3 = sum(
+            _pad_block(detJ6[t] / 24.0, ca)
+            for t, path in enumerate(TET_PATHS)
+            for ca in path
+        )
         return coef, b3
 
     def make_apply(coef, fr):
@@ -719,26 +748,49 @@ def tpu_run_elasticity(n, tol, maxiter):
     Bmu_c = [jnp.asarray(Bmu.astype(np.float32)) for _, _, Bmu, _ in groups]
     Blam_c = [jnp.asarray(Blam.astype(np.float32)) for _, _, _, Blam in groups]
 
+    by_oi = {}
+    for gi, (oi, ca, _, _) in enumerate(groups):
+        by_oi.setdefault(oi, []).append((gi, ca))
+
+    def _pad5(blk, ca):
+        # zero-pad the trailing (n, n, n) dims of a (3, 3, n, n, n) block
+        return jnp.pad(
+            blk,
+            ((0, 0), (0, 0), (ca[0], 1 - ca[0]), (ca[1], 1 - ca[1]),
+             (ca[2], 1 - ca[2])),
+        )
+
     @jax.jit
     def step(mu3, lam3):
-        # assembly: grouped slice-multiply-adds of the material fields into
-        # per-vertex (15, 3, 3) stencil coefficient blocks
-        coef = jnp.zeros((len(OFFSETS_T), 3, 3, N, N, N), dtype=jnp.float32)
-        for gi, (oi, ca, _, _) in enumerate(groups):
-            blk = (mu3[None, None] * Bmu_c[gi][:, :, None, None, None]
-                   + lam3[None, None] * Blam_c[gi][:, :, None, None, None])
-            coef = coef.at[
-                oi, :, :, ca[0] : ca[0] + n, ca[1] : ca[1] + n,
-                ca[2] : ca[2] + n,
-            ].add(blk)
+        # assembly: each of the 15 offset fields is ONE fused sum of
+        # zero-padded material-weighted blocks (sequential .at[].add
+        # slice-adds serialized into per-group kernels and dominated the
+        # assembly wall, as in the scalar path)
+        coef = jnp.stack(
+            [
+                sum(
+                    _pad5(
+                        mu3[None, None]
+                        * Bmu_c[gi][:, :, None, None, None]
+                        + lam3[None, None]
+                        * Blam_c[gi][:, :, None, None, None],
+                        ca,
+                    )
+                    for gi, ca in by_oi[oi]
+                )
+                for oi in range(len(OFFSETS_T))
+            ]
+        )
         # rhs: body force (0, 0, -1) -> b_z[v] = -sum detJ/24 over incident
-        # tets (same slice adds as the scalar path)
-        bz = jnp.zeros((N, N, N), dtype=jnp.float32)
-        for t, path in enumerate(TET_PATHS):
-            for ca in path:
-                bz = bz.at[
-                    ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
-                ].add(jnp.float32(det6[t] / 24.0))
+        # tets (one fused padded sum)
+        bz = sum(
+            jnp.pad(
+                jnp.full((n, n, n), det6[t] / 24.0, dtype=jnp.float32),
+                ((ca[0], 1 - ca[0]), (ca[1], 1 - ca[1]), (ca[2], 1 - ca[2])),
+            )
+            for t, path in enumerate(TET_PATHS)
+            for ca in path
+        )
         b = jnp.stack([jnp.zeros_like(bz), jnp.zeros_like(bz), -bz])
 
         def apply3(x):
@@ -1073,7 +1125,7 @@ def _run_tpu_with_fallback(sizes, tol, timeout_s=540):
     return None, None
 
 
-def _run_elas_child(n, tol, timeout_s=360):
+def _run_elas_child(n, tol, timeout_s=480):
     return _run_child("--tpu-child-elas", n, timeout_s)
 
 
@@ -1165,12 +1217,16 @@ def main():
     # bf16 mixed-precision variant at the SAME recorded size (VERDICT r2
     # item 5): f32-refined bf16 GMG-PCG, same u_max check; recorded in
     # detail whatever the speedup turns out to be
+    t_main0 = globals().get("_MAIN_T0", time.perf_counter())
     bf16_rec = None
     if (
         os.environ.get("BENCH_BF16", "1") == "1"
         and fmt == "stencil"
         and d is not None
         and "note" not in d
+        # upgrades only with time to spare: the record + elasticity are
+        # already safe, don't let optional passes blow the driver budget
+        and time.perf_counter() - t_main0 < 1200
     ):
         d_bf = _run_child("--tpu-child-bf16", n_used, 420)
         if d_bf is not None:
@@ -1200,6 +1256,7 @@ def main():
         and d is not None
         and "note" not in d
         and n_up > n_used
+        and time.perf_counter() - t_main0 < 1500
     ):
         d_up = _run_child("--tpu-child", n_up, 480)
         if d_up is not None:
@@ -1222,7 +1279,7 @@ def main():
         "detail": {
             "format": fmt,
             "preconditioner": os.environ.get("BENCH_PC", "gmg"),
-            "assembly_kernel": os.environ.get("BENCH_ASSEMBLY", "pallas"),
+            "assembly_kernel": os.environ.get("BENCH_ASSEMBLY", "pallas-sym"),
             "pallas_vs_xla_stiffness_ms_at_5.3Mcells": [29.3, 35.2],
             "tpu": {
                 "ndof": ndof,

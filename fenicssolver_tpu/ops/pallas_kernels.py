@@ -125,3 +125,84 @@ def p1_stiffness_kernel(JinvT, detJ, gref, tile=8192, interpret=None):
         interpret=interpret,
     )(JinvT, detJ)
     return Ae[:, :, :nc]
+
+
+#: row-major upper-triangle index of the symmetric P1 element matrix:
+#: SYM10[a][b] gives the slot of Ae[a, b] in the (10, nc) packed output
+SYM10 = tuple(
+    tuple(
+        {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3, (1, 1): 4,
+         (1, 2): 5, (1, 3): 6, (2, 2): 7, (2, 3): 8, (3, 3): 9}[
+            (min(a, b), max(a, b))
+        ]
+        for b in range(4)
+    )
+    for a in range(4)
+)
+
+
+def p1_stiffness_sym_kernel(JinvT, detJ, tile=8192, interpret=None):
+    """Symmetric-packed P1 (3D) stiffness: (3, 3, nc), (nc,) -> (10, nc).
+
+    Exploits two P1 identities the generic kernel pays FLOPs for:
+    the reference gradients of vertices 1..3 are the Cartesian basis, so
+    the physical gradients ARE the rows of Jinv (the push-forward is
+    free), and Ae is symmetric with zero row/column sums, so only the
+    3x3 Gram matrix G = Jinv Jinv^T (6 products) plus row/total sums are
+    computed — ~60% fewer FLOPs and 10/16 of the write traffic vs
+    :func:`p1_stiffness_kernel`.  ``SYM10[a][b]`` maps a dense (a, b)
+    index to the packed slot."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tdim, gdim, nc = JinvT.shape
+    assert tdim == 3 and gdim == 3, "sym kernel is the 3D P1 fast path"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nc_pad = _round_up(nc, tile)
+    if nc_pad != nc:
+        JinvT = jnp.pad(JinvT, ((0, 0), (0, 0), (0, nc_pad - nc)))
+        detJ = jnp.pad(detJ, (0, nc_pad - nc))
+
+    def kernel(jinv_ref, det_ref, out_ref):
+        s = det_ref[:] * (1.0 / 6.0)
+        # Gram of the Jinv rows, scaled: g[i][j] = s * <Jinv_i, Jinv_j>
+        r = [[jinv_ref[i, d, :] for d in range(3)] for i in range(3)]
+        g = {}
+        for i in range(3):
+            for j in range(i, 3):
+                g[(i, j)] = (
+                    r[i][0] * r[j][0] + r[i][1] * r[j][1] + r[i][2] * r[j][2]
+                ) * s
+        # Ae[i+1, j+1] = g[i, j]; vertex-0 row/col from zero-sum identity
+        rowsum = [
+            g[(min(i, 0), max(i, 0))] + g[(min(i, 1), max(i, 1))]
+            + g[(min(i, 2), max(i, 2))]
+            for i in range(3)
+        ]
+        out_ref[0, :] = rowsum[0] + rowsum[1] + rowsum[2]  # (0,0)
+        out_ref[1, :] = -rowsum[0]  # (0,1)
+        out_ref[2, :] = -rowsum[1]  # (0,2)
+        out_ref[3, :] = -rowsum[2]  # (0,3)
+        out_ref[4, :] = g[(0, 0)]  # (1,1)
+        out_ref[5, :] = g[(0, 1)]  # (1,2)
+        out_ref[6, :] = g[(0, 2)]  # (1,3)
+        out_ref[7, :] = g[(1, 1)]  # (2,2)
+        out_ref[8, :] = g[(1, 2)]  # (2,3)
+        out_ref[9, :] = g[(2, 2)]  # (3,3)
+
+    grid = (nc_pad // tile,)
+    Ae = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, 3, tile), lambda c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda c: (c,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((10, tile), lambda c: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, nc_pad), JinvT.dtype),
+        interpret=interpret,
+    )(JinvT, detJ)
+    return Ae[:, :nc]
