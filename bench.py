@@ -1280,7 +1280,6 @@ def main():
             "format": fmt,
             "preconditioner": os.environ.get("BENCH_PC", "gmg"),
             "assembly_kernel": os.environ.get("BENCH_ASSEMBLY", "pallas-sym"),
-            "pallas_vs_xla_stiffness_ms_at_5.3Mcells": [29.3, 35.2],
             "tpu": {
                 "ndof": ndof,
                 "wall_s": round(dt, 4),
