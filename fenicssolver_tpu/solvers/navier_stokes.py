@@ -841,24 +841,58 @@ class CoupledNavierStokesSolver(SolverBase):
 
         return S_inv
 
+    def _visc_mass_matrix(self, Vv, deg, nu0, dt_inv):
+        """Coercive proxy A_hat = 2 nu eps:eps + (1/dt) mass on space Vv."""
+        from ..la.sparse import CSRMatrix, build_pattern
+
+        mesh = self.mesh
+        d = Vv.vdim
+        qdeg = 2 * deg
+        tab = geometry.basis_tables(mesh.tdim, deg, qdeg)
+        ctx = geometry.build_cell_context(Vv, qdeg)
+        phi = jnp.asarray(tab.phi)
+        dphig = jnp.einsum("qkt,ctg->cqkg", jnp.asarray(tab.dphi), ctx.Jinv)
+        wdet = jnp.asarray(tab.qw)[None, :] * ctx.detJ[:, None]
+        # 2 nu eps(phi_a e_i):eps(phi_b e_j)
+        #   = nu (delta_ij grad phi_a . grad phi_b + d_j phi_a d_i phi_b)
+        gg = jnp.einsum("cq,cqag,cqbg->cab", wdet, dphig, dphig)
+        cross = jnp.einsum("cq,cqaj,cqbi->caibj", wdet, dphig, dphig)
+        mm = jnp.einsum("cq,qa,qb->cab", wdet, phi, phi)
+        k = phi.shape[1]
+        I = jnp.eye(d)
+        Ke = nu0 * (
+            jnp.einsum("cab,ij->caibj", gg, I) + cross
+        ) + dt_inv * jnp.einsum("cab,ij->caibj", mm, I)
+        Ke = Ke.reshape(-1, k * d, k * d)
+        pattern, (pos,) = build_pattern([np.asarray(Vv.cell_dofs)], Vv.ndof)
+        return CSRMatrix(
+            pattern=pattern,
+            data=jnp.zeros(pattern.nnz).at[pos].add(Ke.reshape(-1)),
+        )
+
     def _momentum_amg(self, free, su):
-        """AMG on the SPD *viscous approximation* of the momentum block.
+        """Multigrid on the SPD *viscous approximation* of the momentum
+        block.
 
         The true velocity-velocity block of the mixed Jacobian is mildly
         INDEFINITE (the consistent open-boundary term
         ``-nu (sym grad u . n) . v ds`` breaks coercivity — measured min
         eigenvalue -0.045 on the Re=6 channel), so multigrid built on it
-        diverges.  Instead the hierarchy is built on the coercive operator
+        diverges.  Instead the preconditioner is built on the coercive
+        operator
 
             A_hat = 2 nu int eps(u):eps(v) dx + (1/dt) int u.v dx
 
-        with the same Dirichlet mask — the ``fieldsplit_0 pc_type gamg``
-        analog preconditioning with the symmetric part.  The boundary and
-        convection terms are left to the (outer-flexible) Krylov iteration.
-        A_hat is geometry-only, so the hierarchy is CACHED across Newton
-        iterations and transient steps (keyed on mesh + dt + mask)."""
+        with the same Dirichlet mask.  For P2 velocity spaces the cycle is
+        p-MULTIGRID: l1-Chebyshev smoothing on the P2 operator, coarse
+        correction through the P1 discretization of the same form (whose
+        SA-AMG hierarchy IS mesh-independent; SA directly on P2 vector
+        blocks degraded ~1.3x per refinement — round-3 probe: P2-proxy CG
+        iterations 12/14/14 with p-MG vs 17/23/27 with direct SA across
+        nx=16/32/48).  P1 spaces use SA-AMG directly.  Geometry-only, so
+        everything is CACHED across Newton iterations and transient steps
+        (keyed on mesh + dt + mask)."""
         from ..la.amg import AMGPreconditioner, rigid_body_modes
-        from ..la.sparse import CSRMatrix, build_pattern
 
         mesh = self.mesh
         dt_inv = float(getattr(self, "_pcd_dt_inv", 0.0))
@@ -877,48 +911,96 @@ class CoupledNavierStokesSolver(SolverBase):
         Vv = self.function_space.subspaces[0]
         d = Vv.vdim
         nu0 = float(self.material["kinematic_viscosity"])
-        qdeg = 2 * self.vel_degree
-        tab = geometry.basis_tables(mesh.tdim, self.vel_degree, qdeg)
-        ctx = geometry.build_cell_context(Vv, qdeg)
-        phi = jnp.asarray(tab.phi)
-        dphig = jnp.einsum("qkt,ctg->cqkg", jnp.asarray(tab.dphi), ctx.Jinv)
-        wdet = jnp.asarray(tab.qw)[None, :] * ctx.detJ[:, None]
-        # 2 nu eps(phi_a e_i):eps(phi_b e_j)
-        #   = nu (delta_ij grad phi_a . grad phi_b + d_j phi_a d_i phi_b)
-        gg = jnp.einsum("cq,cqag,cqbg->cab", wdet, dphig, dphig)
-        cross = jnp.einsum("cq,cqaj,cqbi->caibj", wdet, dphig, dphig)
-        mm = jnp.einsum("cq,qa,qb->cab", wdet, phi, phi)
-        k = phi.shape[1]
-        I = jnp.eye(d)
-        Ke = nu0 * (
-            jnp.einsum("cab,ij->caibj", gg, I) + cross
-        ) + dt_inv * jnp.einsum("cab,ij->caibj", mm, I)
-        Ke = Ke.reshape(-1, k * d, k * d)
-        pattern, (pos,) = build_pattern(
-            [np.asarray(Vv.cell_dofs)], Vv.ndof
-        )
-        A_hat = CSRMatrix(
-            pattern=pattern,
-            data=jnp.zeros(pattern.nnz).at[pos].add(Ke.reshape(-1)),
-        )
-        A_hat = assembly.constrain_csr(A_hat, jnp.asarray(fm.astype(float)))
-        B = rigid_body_modes(np.asarray(Vv.scalar_space.dof_coords), d)
         try:
-            amg = AMGPreconditioner(
-                A_hat.to_scipy(), nullspace=B, free_mask=fm
-            )
-        except Exception as e:  # pragma: no cover - degenerate aggregation
+            A2 = self._visc_mass_matrix(Vv, self.vel_degree, nu0, dt_inv)
+            A2c = assembly.constrain_csr(A2, jnp.asarray(fm.astype(float)))
+            if self.vel_degree == 2 and mesh.tdim >= 2:
+                amg = self._build_pmg(A2c, fm, d, nu0, dt_inv)
+            else:
+                B = rigid_body_modes(
+                    np.asarray(Vv.scalar_space.dof_coords), d
+                )
+                amg = AMGPreconditioner(
+                    A2c.to_scipy(), nullspace=B, free_mask=fm
+                )
+        except Exception as e:  # pragma: no cover - degenerate setup
             # MUST be loud: a silently-degraded momentum preconditioner
             # caused an outer-iteration blowup at 21k dofs in round 2 —
             # diag fallback changes convergence by an order of magnitude
             self.logger.warning(
-                "momentum AMG setup failed (%s); falling back to the "
+                "momentum multigrid setup failed (%s); falling back to the "
                 "diagonal momentum preconditioner — expect many more "
                 "outer iterations", e,
             )
             amg = None
         self._mom_amg_cache = dict(key=key, amg=amg)
         return amg
+
+    def _build_pmg(self, A2c, fm, d, nu0, dt_inv):
+        """p-multigrid cycle for the P2 vector proxy: Chebyshev(3) on P2,
+        P1 coarse correction via SA-AMG, Chebyshev(3) post.  The P1->P2
+        prolongation is exact nodal interpolation (vertex identity + edge
+        midpoint averages); restriction is its transpose."""
+        from ..core.spaces import VectorFunctionSpace
+        from ..la.amg import AMGPreconditioner, rigid_body_modes
+
+        mesh = self.mesh
+        V1 = VectorFunctionSpace(mesh, "CG", 1)
+        A1 = self._visc_mass_matrix(V1, 1, nu0, dt_inv)
+        nv = mesh.num_vertices()
+        fm1 = fm.reshape(-1, d)[:nv].reshape(-1)
+        A1c = assembly.constrain_csr(A1, jnp.asarray(fm1.astype(float)))
+        B1 = rigid_body_modes(np.asarray(V1.scalar_space.dof_coords), d)
+        M1 = AMGPreconditioner(A1c.to_scipy(), nullspace=B1, free_mask=fm1)
+        ev = jnp.asarray(np.asarray(mesh.edges()))
+        nnode2 = fm.reshape(-1, d).shape[0]
+        l1 = jnp.asarray(
+            np.maximum(
+                np.asarray(np.abs(A2c.to_scipy()).sum(axis=1)).ravel(),
+                1e-300,
+            )
+        )
+        fmj = jnp.asarray(fm.astype(float))
+        lam = 2.0  # Gershgorin bound for the l1-scaled operator
+
+        def prolong(x1):
+            x1n = x1.reshape(nv, d)
+            mid = 0.5 * (x1n[ev[:, 0]] + x1n[ev[:, 1]])
+            return jnp.concatenate([x1n, mid], axis=0).reshape(-1)
+
+        def restrict(r2):
+            r2n = r2.reshape(nnode2, d)
+            r1 = r2n[:nv]
+            r1 = r1.at[ev[:, 0]].add(0.5 * r2n[nv:])
+            r1 = r1.at[ev[:, 1]].add(0.5 * r2n[nv:])
+            return r1.reshape(-1)
+
+        def smooth(x, r_now, deg=3, lmin_ratio=0.25):
+            lmin = lmin_ratio * lam
+            theta = 0.5 * (lam + lmin)
+            delta = 0.5 * (lam - lmin)
+            sigma = theta / delta
+            r = r_now / l1
+            dv = r / theta
+            xx = x + dv
+            rho = 1.0 / sigma
+            for _ in range(deg - 1):
+                r = r - A2c.matvec(dv) / l1
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                dv = rho_new * rho * dv + (2.0 * rho_new / delta) * r
+                xx = xx + dv
+                rho = rho_new
+            return xx
+
+        def Mp(r):
+            r = fmj * r
+            x = smooth(jnp.zeros_like(r), r)
+            rc = restrict(r - A2c.matvec(x))
+            x = x + fmj * prolong(M1(rc))
+            x = smooth(x, r - A2c.matvec(x))
+            return fmj * x + (1.0 - fmj) * r
+
+        return Mp
 
     def _momentum_bcorr(self, J, free, su, max_block=4000):
         """Exact correction block for the momentum dofs touched by boundary
@@ -1126,14 +1208,12 @@ class CoupledNavierStokesSolver(SolverBase):
                     x = x.at[bdofs].add(A_bb_inv @ r2[bdofs])
                 return x + M_uu(ru - A_uu(x))
 
-            # momentum_inner_tol > 0 wraps the composition in a small inner
-            # GMRES on the TRUE momentum block: the remaining 1.3x/refine
-            # outer growth came from applying the composition a FIXED
-            # number of times (its residual quality degrades mildly with
-            # h); solving to a tolerance restores the control experiment's
-            # mesh-independent outer counts (docs/ROADMAP.md item 8)
+            # momentum_inner_tol > 0 wraps the composition in a small
+            # inner GMRES on the TRUE momentum block (opt-in; round-3
+            # probes measured the fixed composition as the efficient
+            # frontier — looser inner tolerances RAISED outer counts)
             inner_tol = float(
-                self._solver_params().get("momentum_inner_tol", 0.05)
+                self._solver_params().get("momentum_inner_tol", 0.0)
             )
             inner_max = int(
                 self._solver_params().get("momentum_inner_maxiter", 12)
