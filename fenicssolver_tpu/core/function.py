@@ -199,7 +199,12 @@ def interpolate(value, space):
         f.values[:] = float(value)
     elif isinstance(value, (tuple, list, np.ndarray)):
         v = np.asarray(value, dtype=np.float64)
-        f.values[:] = np.tile(v, coords.shape[0])
+        if v.size == f.values.size:
+            # a full per-dof array initializes directly (e.g. an eigenmode
+            # initial condition); short vectors tile per node as before
+            f.values[:] = v.reshape(-1)
+        else:
+            f.values[:] = np.tile(v, coords.shape[0])
     elif isinstance(value, Function):
         if value.space.ndof == space.ndof:
             f.values[:] = value.values

@@ -70,6 +70,14 @@ def main(case_input):
         from .solvers.fsi import FSISolver
 
         solver = FSISolver(settings)
+    elif solver_name == "MaxwellEMSolver":
+        from .solvers.maxwell import MaxwellEMSolver
+
+        solver = MaxwellEMSolver(settings)
+    elif solver_name == "WavePropagationSolver":
+        from .solvers.wave import WavePropagationSolver
+
+        solver = WavePropagationSolver(settings)
     else:
         raise NotImplementedError(f"solver {solver_name} is not supported")
     solver.solve()
