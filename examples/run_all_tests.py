@@ -20,6 +20,7 @@ EXAMPLES = [
     "test_flow_pass_cylinder.py",
     "test_fsi.py",
     "test_plasticity.py",
+    "test_maxwell_em.py",
 ]
 
 here = os.path.dirname(os.path.abspath(__file__))
