@@ -93,3 +93,20 @@ def test_pcd_poiseuille_58k_dofs():
     assert solver.function_space.ndof > direct.DENSE_LIMIT
     up = solver.solve()
     check_poiseuille(solver, up, 1e-6, 1e-5)
+
+
+def test_pcd_outer_iterations_scale(monkeypatch):
+    """pcd with the p-multigrid momentum preconditioner: 2x refinement
+    costs <= ~1.25x outer iterations (measured 51 -> 64; the bound leaves
+    slack).  Guards the round-3 p-MG gain (SA directly on the P2 vector
+    proxy degraded ~1.35x per refinement)."""
+    monkeypatch.setattr(direct, "DENSE_LIMIT", 500)
+    outers = {}
+    for nx in (16, 32):
+        s = channel_settings(nx=nx, ny=nx)
+        s["solver_settings"]["solver_parameters"]["preconditioner"] = "pcd"
+        solver = CoupledNavierStokesSolver(s)
+        up = solver.solve()
+        check_poiseuille(solver, up, 1e-6, 1e-5)
+        outers[nx] = solver._last_outer_iters
+    assert outers[32] <= 1.5 * outers[16], outers
