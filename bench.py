@@ -612,7 +612,9 @@ class _NumpyGMG:
         D[rows, pat.indices] = vals
         fr = free3.ravel().astype(np.float64)
         D = fr[:, None] * D * fr[None, :] + np.diag(1.0 - fr)
-        self.coarse_inv = np.linalg.inv(D)
+        # masked inverse (mirrors la/gmg.py): identity rows would return
+        # constrained-row residual at unit scale
+        self.coarse_inv = fr[:, None] * np.linalg.inv(D) * fr[None, :]
         self.shape3 = ((n + 1),) * 3
 
     def _shift(self, x, d):
@@ -675,7 +677,9 @@ class _NumpyGMG:
         b3 = r.reshape(self.shape3)
         if not self.levels:
             return self.coarse_inv @ r
-        return self._cycle(0, fr0 * b3).ravel()
+        z = self._cycle(0, fr0 * b3).ravel()
+        # fine identity on constrained dofs (mirrors la/gmg.vcycle)
+        return z + (1.0 - fr0.ravel()) * r
 
 
 def cpu_baseline(n, tol, maxiter):
@@ -968,7 +972,7 @@ def cpu_baseline_elasticity(n, tol, maxiter):
           3 * pat.indices[e]: 3 * pat.indices[e] + 3] = taps_c[oi_of[e]]
     frv = np.repeat(fr.ravel(), 3)
     D = frv[:, None] * D * frv[None, :] + np.diag(1.0 - frv)
-    coarse_inv = np.linalg.inv(D)
+    coarse_inv = frv[:, None] * np.linalg.inv(D) * frv[None, :]
 
     def lvl_apply(x, taps):
         y = np.zeros_like(x)

@@ -68,10 +68,17 @@ class GMGLevel(NamedTuple):
 
 class GMGData(NamedTuple):
     levels: tuple  # of GMGLevel, fine -> coarse
-    coarse_inv: jnp.ndarray  # (n3, n3) dense inverse of masked coarsest op
+    coarse_inv: jnp.ndarray  # (n3, n3) dense MASKED inverse (zero on
+    # constrained rows/cols: the coarse grid must never return correction
+    # on constrained dofs — see build_gmg)
     shape3: tuple  # fine lattice shape (static)
     nu: int = 2
     omega: float = 0.8
+    #: flat fine free mask; when set, vcycle adds the identity on the
+    #: FINE constrained dofs (the preconditioner contract of the masked
+    #: operator free*A*free + (1-free)*I).  None = pure V-cycle (the
+    #: sharded lattice solvers add their own identity term outside)
+    fine_free: jnp.ndarray = None
 
 
 def _shift(x, d):
@@ -135,6 +142,7 @@ def build_gmg(
     nu=2,
     omega=0.8,
     dtype=None,
+    identity_on_constrained=True,
 ):
     """Host setup of the level hierarchy.
 
@@ -176,13 +184,29 @@ def build_gmg(
     D[rows, pat.indices] = vals
     fr = free3.ravel().astype(np.float64)
     D = fr[:, None] * D * fr[None, :] + np.diag(1.0 - fr)
-    coarse_inv = jnp.asarray(np.linalg.inv(D), dtype=dtype)
+    # MASK the inverse: restriction smears residual into constrained
+    # coarse rows, whose identity would return it at UNIT scale — a
+    # factor-|A| relative pollution of the prolongated correction that
+    # stalls PCG whenever the operator scale is far from 1 (e.g. elastic
+    # moduli ~1e11; invisible at the unit-coefficient test scale)
+    coarse_inv = jnp.asarray(
+        fr[:, None] * np.linalg.inv(D) * fr[None, :], dtype=dtype
+    )
+    fine_free = None
+    if identity_on_constrained:
+        f0 = (
+            np.asarray(levels[0].free3).ravel()
+            if levels
+            else free3.ravel().astype(np.float64)
+        )
+        fine_free = jnp.asarray(f0, dtype=dtype)
     return GMGData(
         levels=tuple(levels),
         coarse_inv=coarse_inv,
         shape3=shape3,
         nu=nu,
         omega=omega,
+        fine_free=fine_free,
     )
 
 
@@ -209,12 +233,21 @@ def _cycle(gmg, li, b3):
 
 
 def vcycle(gmg, r_flat):
-    """One V(nu, nu) cycle: flat residual -> flat correction (SPD map)."""
+    """One V(nu, nu) cycle: flat residual -> flat correction (SPD map).
+
+    Correction on constrained dofs is ZERO inside the hierarchy (masked
+    coarse inverse + free-masked smoothing — an unmasked coarse identity
+    polluted the correction by the operator scale, see build_gmg); the
+    fine-level identity on constrained dofs is added at the end when the
+    hierarchy was built with identity_on_constrained."""
     b3 = r_flat.reshape(gmg.shape3)
     if not gmg.levels:  # whole problem under coarse_max: direct dense solve
-        return gmg.coarse_inv @ r_flat
-    z3 = _cycle(gmg, 0, gmg.levels[0].free3 * b3)
-    return z3.ravel()
+        z = gmg.coarse_inv @ r_flat
+    else:
+        z = _cycle(gmg, 0, gmg.levels[0].free3 * b3).ravel()
+    if gmg.fine_free is not None:
+        z = z + (1.0 - gmg.fine_free) * r_flat
+    return z
 
 
 def preconditioner(gmg):

@@ -46,10 +46,12 @@ class GMGElasticLevel(NamedTuple):
 
 class GMGElasticData(NamedTuple):
     levels: tuple
-    coarse_inv: jnp.ndarray
+    coarse_inv: jnp.ndarray  # masked inverse (zero on constrained)
     shape3: tuple
     nu: int = 2
     omega: float = 0.6
+    #: flat node-major fine free mask (see la/gmg.py GMGData.fine_free)
+    fine_free: jnp.ndarray = None
 
 
 def stencil_apply_vec(x, coefs):
@@ -78,6 +80,7 @@ def stencil_apply_vec(x, coefs):
 def build_gmg_elastic(
     nx, ny, nz, mu, lam, extent=(1.0, 1.0, 1.0), free3=None,
     coarse_max=800, nu=2, omega=0.6, dtype=None,
+    identity_on_constrained=True,
 ):
     dtype = dtype or jnp.zeros(()).dtype
     n = np.array([nx, ny, nz])
@@ -117,10 +120,24 @@ def build_gmg_elastic(
         D[3 * r : 3 * r + 3, 3 * c : 3 * c + 3] = taps[oi]
     fr = np.repeat(free3.ravel().astype(np.float64), 3)
     D = fr[:, None] * D * fr[None, :] + np.diag(1.0 - fr)
-    coarse_inv = jnp.asarray(np.linalg.inv(D), dtype=dtype)
+    # masked inverse: see la/gmg.py — unmasked identity rows pollute the
+    # prolongated correction by the operator scale (~1e11 for elasticity)
+    coarse_inv = jnp.asarray(
+        fr[:, None] * np.linalg.inv(D) * fr[None, :], dtype=dtype
+    )
+    fine_free = None
+    if identity_on_constrained:
+        f0 = (
+            np.asarray(levels[0].free3)
+            if levels
+            else free3.astype(np.float64)
+        )
+        fine_free = jnp.asarray(
+            np.repeat(np.asarray(f0).ravel(), 3), dtype=dtype
+        )
     return GMGElasticData(
         levels=tuple(levels), coarse_inv=coarse_inv, shape3=shape3,
-        nu=nu, omega=omega,
+        nu=nu, omega=omega, fine_free=fine_free,
     )
 
 
@@ -156,9 +173,16 @@ def _cycle(gmg, li, b):
 
 def vcycle(gmg, r_flat):
     """One V(nu, nu) cycle on the flat (3 * N^3,) vector (node-major
-    (v, comp) dof order, i.e. reshape (N, N, N, 3))."""
+    (v, comp) dof order, i.e. reshape (N, N, N, 3)).  Zero correction on
+    constrained dofs inside the hierarchy; fine identity added when
+    built with identity_on_constrained (see la/gmg.py)."""
     b = jnp.moveaxis(r_flat.reshape(gmg.shape3 + (3,)), -1, 0)
     if not gmg.levels:
-        return gmg.coarse_inv @ r_flat
-    z = _cycle(gmg, 0, gmg.levels[0].free3 * b)
-    return jnp.moveaxis(z, 0, -1).ravel()
+        z = gmg.coarse_inv @ r_flat
+    else:
+        z = jnp.moveaxis(
+            _cycle(gmg, 0, gmg.levels[0].free3 * b), 0, -1
+        ).ravel()
+    if gmg.fine_free is not None:
+        z = z + (1.0 - gmg.fine_free) * r_flat
+    return z

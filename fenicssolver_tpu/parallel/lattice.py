@@ -466,6 +466,9 @@ class LatticeHaloSolver:
                 nu=self.nu,
                 omega=self.omega,
                 dtype=dtype,
+                # the coarse tail must return ZERO on constrained dofs;
+                # the top-level PCG adds its own fine identity
+                identity_on_constrained=False,
             )
             self._compiled[key] = jax.jit(
                 self._build(tol, maxiter, dtype, G_tail)
@@ -493,3 +496,450 @@ class LatticeHaloSolver:
         )
         x = self._from_slabs(np.asarray(x_slabs), level=0)
         return x.ravel(), int(np.asarray(iters).ravel()[0])
+
+
+def vector_stencil_fields_from_csr(A, shape3, d=3):
+    """Block stencil fields from a node-major vector CSR: returns
+    ``coef`` (15, d, d, Nx, Ny, Nz) with
+    ``coef[oi, i, j, v] = A[d v + i, d (v + OFFSETS[oi]) + j]``."""
+    if hasattr(A, "to_scipy"):
+        A = A.to_scipy()
+    A = A.tocsr()
+    Nx, Ny, Nz = shape3
+    nvert = Nx * Ny * Nz
+    assert A.shape == (d * nvert,) * 2, (A.shape, shape3, d)
+    rows = np.repeat(
+        np.arange(d * nvert, dtype=np.int64), np.diff(A.indptr)
+    )
+    cols = A.indices.astype(np.int64)
+    rv, ri = rows // d, rows % d
+    cv, cj = cols // d, cols % d
+    riw, rjw, rkw = np.unravel_index(rv, shape3)
+    ciw, cjw, ckw = np.unravel_index(cv, shape3)
+    di, dj, dk = ciw - riw, cjw - rjw, ckw - rkw
+    lut = np.full((3, 3, 3), -1, dtype=np.int64)
+    for oi, (a, b, c) in enumerate(OFFSETS_T):
+        lut[a + 1, b + 1, c + 1] = oi
+    inb = (np.abs(di) <= 1) & (np.abs(dj) <= 1) & (np.abs(dk) <= 1)
+    oi = np.where(inb, lut[di.clip(-1, 1) + 1, dj.clip(-1, 1) + 1,
+                           dk.clip(-1, 1) + 1], -1)
+    ok = oi >= 0
+    if not ok.all() and np.abs(A.data[~ok]).max() > 0:
+        raise ValueError(
+            "matrix has entries outside the 15-offset lattice stencil"
+        )
+    coef = np.zeros(
+        (len(OFFSETS_T), d, d, Nx, Ny, Nz), dtype=A.data.dtype
+    )
+    coef[oi[ok], ri[ok], cj[ok], riw[ok], rjw[ok], rkw[ok]] = A.data[ok]
+    return coef
+
+
+class LatticeHaloVectorSolver:
+    """Distributed GMG-preconditioned CG for VECTOR (P1 elasticity-type)
+    lattice problems — the sharded companion of ``la/gmg_elastic``.
+
+    Same slab architecture as :class:`LatticeHaloSolver` (x-plane slabs,
+    1-plane ppermute halos, aligned V-cycle levels, replicated coarse
+    tail) with 3x3 block taps: the exact CG matvec uses the TRUE block
+    stencil fields extracted from the assembled node-major CSR; the
+    preconditioner taps are the constant ``elastic_box_stencil`` blocks
+    per level (rediscretized, exactly as the serial bench path).  The
+    V-cycle vertex mask takes the min over components (a component-wise
+    Dirichlet split is honored exactly by the CG operator and
+    approximately by the preconditioner)."""
+
+    def __init__(self, A, info, mu, lam, devices=None, gather_max=20000,
+                 nu=2, omega=0.6, d=3, mesh_axes=None):
+        from ..la.gmg_elastic import elastic_box_stencil
+
+        devices = devices if devices is not None else jax.devices()
+        nd = len(devices)
+        self.n_dev = nd
+        self.d = d
+        if mesh_axes is None:
+            mesh_axes = ((AXIS, nd),)
+        names = tuple(nm for nm, _ in mesh_axes)
+        shape = tuple(int(sz) for sz in (s for _, s in mesh_axes))
+        assert int(np.prod(shape)) == nd
+        self._axes = names
+        self.device_mesh = DeviceMesh(
+            np.array(devices).reshape(shape), names
+        )
+        n = tuple(int(v) for v in info["n"])
+        extent = tuple(float(v) for v in info.get("extent", (1.0, 1.0, 1.0)))
+        self.shape3 = tuple(nn + 1 for nn in n)
+        self.nvert = int(np.prod(self.shape3))
+        self.ndof = d * self.nvert
+        gather_max = min(gather_max, max(self.ndof // 4, 64))
+        h = np.array(extent) / np.array(n)
+
+        Ls = 0
+        while True:
+            c = Ls + 1
+            nl = [nn >> c for nn in n]
+            if (
+                all(nn % (1 << c) == 0 for nn in n)
+                and n[0] >> c >= nd
+                and all(v >= 2 for v in nl)
+                and d * int(np.prod([(nn >> Ls) + 1 for nn in n]))
+                > gather_max
+            ):
+                Ls = c
+            else:
+                break
+        if Ls == 0:
+            raise ValueError(
+                f"lattice n={n} too small to shard over {nd} devices"
+            )
+        self.Ls = Ls
+        self._tail_n = tuple(nn >> Ls for nn in n)
+        cuts0 = _slab_cuts(n[0], nd, Ls)
+        self.cuts = []
+        for l in range(Ls + 1):
+            cl = cuts0 // (1 << l)
+            cl[nd] = (n[0] >> l) + 1
+            self.cuts.append(cl)
+        m_tail = int(np.max(np.diff(self.cuts[Ls])))
+        self.mp = [m_tail * (1 << (Ls - l)) for l in range(Ls)] + [m_tail]
+        self.taps = [
+            elastic_box_stencil(*(h * (1 << l)), mu, lam)
+            for l in range(Ls)
+        ]
+        self.nu, self.omega = nu, omega
+        self._extent = extent
+        self._n = n
+        self._mu, self._lam = float(mu), float(lam)
+        coef = vector_stencil_fields_from_csr(A, self.shape3, d)
+        self._coef_np = self._to_slabs(coef, axis=3, level=0)
+        self._compiled = {}
+
+    _to_slabs = LatticeHaloSolver._to_slabs
+    _from_slabs = LatticeHaloSolver._from_slabs
+
+    def update_operator(self, A):
+        coef = vector_stencil_fields_from_csr(A, self.shape3, self.d)
+        self._coef_np = self._to_slabs(coef, axis=3, level=0)
+
+    def _level_masks(self, free3):
+        frees, pmasks = [], []
+        f = np.asarray(free3, dtype=np.float64)  # (d, Nx, Ny, Nz)
+        for l in range(self.Ls + 1):
+            fl = f[:, :: 1 << l, :: 1 << l, :: 1 << l]
+            frees.append(self._to_slabs(fl, axis=1, level=l))
+            cuts, mp = self.cuts[l], self.mp[l]
+            pm = np.zeros((self.n_dev, mp))
+            for r in range(self.n_dev):
+                pm[r, : cuts[r + 1] - cuts[r]] = 1.0
+            pmasks.append(pm)
+        return frees, pmasks
+
+    def _build(self, tol, maxiter, dtype, G_tail):
+        from ..la import gmg_elastic as _ge
+
+        nd = self.n_dev
+        d = self.d
+        Ls = self.Ls
+        mps = self.mp
+        nu, om = self.nu, self.omega
+        taps = [jnp.asarray(t, dtype=dtype) for t in self.taps]
+        inv_c = [
+            jnp.asarray(np.linalg.inv(t[CENTER_IDX]), dtype=dtype)
+            for t in self.taps
+        ]
+        perm_right = [(r, r + 1) for r in range(nd - 1)]
+        perm_left = [(r + 1, r) for r in range(nd - 1)]
+        axes = self._axes
+        tail_shape = tuple(v + 1 for v in self._tail_n)
+
+        def _shift_yz(x, dy, dz):
+            slc, pads = [slice(None)], [(0, 0)]
+            for ax, dd in ((1, dy), (2, dz)):
+                nn = x.shape[ax]
+                if dd >= 0:
+                    slc.append(slice(dd, nn))
+                    pads.append((0, dd))
+                else:
+                    slc.append(slice(0, nn + dd))
+                    pads.append((-dd, 0))
+            return jnp.pad(x[tuple(slc)], pads)
+
+        def with_halo_c(x, m):
+            """Per-component halo: x (mp, Ny, Nz) -> (mp+2, Ny, Nz)."""
+            last = jax.lax.dynamic_slice_in_dim(x, m - 1, 1, 0)
+            first = x[0:1]
+            from_left = jax.lax.ppermute(last, axes, perm_right)
+            from_right = jax.lax.ppermute(first, axes, perm_left)
+            xe = jnp.concatenate([from_left, x, jnp.zeros_like(first)], 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                xe, from_right, m + 1, 0
+            )
+
+        def apply_block(xes, C, mp):
+            """xes: list of d haloed components; C: (15, d, d) taps or
+            (15, d, d, mp, Ny, Nz) fields.  Unrolled FMAs (tiny-axis
+            einsum = 32x tile padding)."""
+            acc = [None] * d
+            for oi, (dx, dy, dz) in enumerate(OFFSETS_T):
+                xs = [
+                    _shift_yz(xes[j][1 + dx : 1 + dx + mp], dy, dz)
+                    for j in range(d)
+                ]
+                for i in range(d):
+                    t = C[oi, i, 0] * xs[0]
+                    for j in range(1, d):
+                        t = t + C[oi, i, j] * xs[j]
+                    acc[i] = t if acc[i] is None else acc[i] + t
+            return jnp.stack(acc)
+
+        def restrict_axis_local(x, ax):
+            x = jnp.moveaxis(x, ax, 0)
+            xp = jnp.pad(x, ((1, 1),) + ((0, 0),) * (x.ndim - 1))
+            y = 0.5 * xp[0:-2:2] + xp[1:-1:2] + 0.5 * xp[2::2]
+            return jnp.moveaxis(y, 0, ax)
+
+        def prolong_axis_local(x, ax):
+            x = jnp.moveaxis(x, ax, 0)
+            odd = 0.5 * (x[:-1] + x[1:])
+            body = jnp.stack([x[:-1], odd], axis=1).reshape(
+                (-1,) + x.shape[1:]
+            )
+            y = jnp.concatenate([body, x[-1:]], axis=0)
+            return jnp.moveaxis(y, 0, ax)
+
+        def restrict_shard_c(xe, l, pm_c):
+            mp_c = mps[l + 1]
+            rc = (
+                0.5 * xe[0 : 2 * mp_c : 2]
+                + xe[1 : 2 * mp_c + 1 : 2]
+                + 0.5 * xe[2 : 2 * mp_c + 2 : 2]
+            )
+            rc = restrict_axis_local(rc, 1)
+            rc = restrict_axis_local(rc, 2)
+            return pm_c[:, None, None] * rc
+
+        def prolong_shard_c(ece, l, pm_f):
+            mp_c = mps[l + 1]
+            even = ece[1 : 1 + mp_c]
+            odd = 0.5 * (ece[1 : 1 + mp_c] + ece[2 : 2 + mp_c])
+            ef = jnp.stack([even, odd], axis=1).reshape(
+                (2 * mp_c,) + even.shape[1:]
+            )
+            ef = prolong_axis_local(ef, 1)
+            ef = prolong_axis_local(ef, 2)
+            return pm_f[:, None, None] * ef
+
+        nlev = Ls + 1
+        sp = P(axes)
+        in_specs = (
+            sp,  # coef (d, d ... within)
+            tuple(sp for _ in range(nlev)),  # frees (d, mp, Ny, Nz)
+            tuple(sp for _ in range(nlev)),  # pmasks
+            tuple(sp for _ in range(nlev)),  # m per level
+            sp,  # tail starts
+            sp,  # b (d, mp, Ny, Nz)
+            sp,  # ubc
+        )
+
+        @partial(
+            shard_map,
+            mesh=self.device_mesh,
+            in_specs=in_specs,
+            out_specs=(sp, P()),
+            check_vma=False,
+        )
+        def pcg(coef, frees, pmasks, ms, cs_tail, b, ubc):
+            coef = coef[0]
+            frees = tuple(f[0] for f in frees)
+            pmasks = tuple(p[0] for p in pmasks)
+            ms = tuple(m[0] for m in ms)
+            cs_t = cs_tail[0]
+            b = b[0]
+            ubc = ubc[0]
+            free = frees[0]  # (d, mp, Ny, Nz) per-dof mask
+            pm0 = pmasks[0][None, :, None, None]
+
+            def halo_all(x, m):
+                return [with_halo_c(x[j], m) for j in range(d)]
+
+            def matvec_raw(x):
+                return apply_block(halo_all(x, ms[0]), coef, mps[0])
+
+            def matvec(x):
+                return pm0 * (free * matvec_raw(free * x) + (1 - free) * x)
+
+            # per-level vertex masks for the V-cycle: min over components
+            vfree = tuple(jnp.min(f, axis=0) for f in frees)
+
+            def a_free(l, x):
+                xm = vfree[l][None] * x
+                y = apply_block(halo_all(xm, ms[l]), taps[l], mps[l])
+                return vfree[l][None] * y
+
+            def smooth_inc(l, r):
+                C = inv_c[l]
+                return om * jnp.stack(
+                    [
+                        sum(C[i, j] * r[j] for j in range(d))
+                        for i in range(d)
+                    ]
+                )
+
+            def tail_solve(r_loc):
+                pad = jnp.zeros(
+                    (d, tail_shape[0] + mps[Ls]) + tail_shape[1:],
+                    dtype=r_loc.dtype,
+                )
+                z0 = jnp.zeros((), dtype=cs_t.dtype) if hasattr(cs_t, "dtype") else 0
+                pad = jax.lax.dynamic_update_slice(
+                    pad,
+                    pmasks[Ls][None, :, None, None] * r_loc,
+                    (z0, cs_t, z0, z0),
+                )
+                g = jax.lax.psum(pad[:, : tail_shape[0]], axes)
+                flat = jnp.moveaxis(g, 0, -1).ravel()  # node-major
+                e = _ge.vcycle(G_tail, flat)
+                e3 = jnp.moveaxis(
+                    e.reshape(tail_shape + (d,)), -1, 0
+                )
+                epad = jnp.concatenate(
+                    [e3, jnp.zeros((d, mps[Ls]) + tail_shape[1:], e3.dtype)],
+                    axis=1,
+                )
+                eloc = jax.lax.dynamic_slice(
+                    epad, (z0, cs_t, z0, z0),
+                    (d, mps[Ls]) + tail_shape[1:],
+                )
+                return pmasks[Ls][None, :, None, None] * eloc
+
+            def Mcycle(r0):
+                bs = [vfree[0][None] * r0]
+                xs = []
+                for l in range(Ls):
+                    b_l = bs[l]
+                    x = smooth_inc(l, vfree[l][None] * b_l)
+                    for _ in range(nu - 1):
+                        x = x + smooth_inc(
+                            l, vfree[l][None] * (b_l - a_free(l, x))
+                        )
+                    r = vfree[l][None] * (b_l - a_free(l, x))
+                    xs.append(x)
+                    re = halo_all(r, ms[l])
+                    bs.append(
+                        jnp.stack(
+                            [
+                                restrict_shard_c(re[j], l, pmasks[l + 1])
+                                for j in range(d)
+                            ]
+                        )
+                    )
+                ec = tail_solve(bs[Ls])
+                for l in reversed(range(Ls)):
+                    ee = halo_all(ec, ms[l + 1])
+                    e = jnp.stack(
+                        [
+                            prolong_shard_c(ee[j], l, pmasks[l])
+                            for j in range(d)
+                        ]
+                    )
+                    x = xs[l] + vfree[l][None] * e
+                    for _ in range(nu):
+                        x = x + smooth_inc(
+                            l, vfree[l][None] * (bs[l] - a_free(l, x))
+                        )
+                    ec = x
+                return ec
+
+            def M(r):
+                return Mcycle(r) + (1 - free) * pm0 * r
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.sum(pm0 * a * c), axes)
+
+            rhs = pm0 * (free * (b - matvec_raw(ubc)) + (1 - free) * ubc)
+            x0 = jnp.zeros_like(b)
+            r0 = rhs - matvec(x0)
+            z0 = M(r0)
+            bnorm = jnp.sqrt(dot(rhs, rhs))
+            target = tol * jnp.maximum(bnorm, 1e-30)
+
+            def cond(st):
+                x, r, z, p, rz, i = st
+                return (jnp.sqrt(dot(r, r)) > target) & (i < maxiter)
+
+            def body(st):
+                x, r, z, p, rz, i = st
+                Ap = matvec(p)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = M(r)
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, i + 1)
+
+            x, r, *_, iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, dot(r0, z0), jnp.array(0))
+            )
+            return x[None], jnp.asarray(iters)
+
+        return pcg
+
+    def solve(self, b, free_mask, u_bc, tol=1e-10, maxiter=2000):
+        """Node-major (ndof = d * nvert) vectors in, (x, iters) out."""
+        from ..la.gmg_elastic import build_gmg_elastic
+
+        d = self.d
+        b = np.asarray(b)
+        dtype = jnp.asarray(b).dtype
+
+        def to4(v):
+            # node-major (nvert, d) -> component-leading (d, Nx, Ny, Nz)
+            return np.moveaxis(
+                np.asarray(v).reshape(self.shape3 + (d,)), -1, 0
+            )
+
+        free4 = to4(free_mask)
+        frees_np, pmasks_np = self._level_masks(free4)
+        vfree_tail = np.min(free4, axis=0)[
+            :: 1 << self.Ls, :: 1 << self.Ls, :: 1 << self.Ls
+        ]
+        key = (
+            hash((free4 > 0.5).tobytes()),
+            float(tol),
+            int(maxiter),
+            str(dtype),
+        )
+        if key not in self._compiled:
+            G_tail = build_gmg_elastic(
+                *self._tail_n, self._mu, self._lam,
+                extent=self._extent, free3=vfree_tail > 0.5,
+                nu=self.nu, omega=self.omega, dtype=dtype,
+                identity_on_constrained=False,
+            )
+            self._compiled[key] = jax.jit(
+                self._build(tol, maxiter, dtype, G_tail)
+            )
+        fn = self._compiled[key]
+        ms = tuple(
+            jnp.asarray(np.diff(self.cuts[l]).astype(np.int32))
+            for l in range(self.Ls + 1)
+        )
+        cs_tail = jnp.asarray(self.cuts[self.Ls][:-1].astype(np.int32))
+        x_slabs, iters = fn(
+            jnp.asarray(self._coef_np, dtype=dtype),
+            tuple(jnp.asarray(f, dtype=dtype) for f in frees_np),
+            tuple(jnp.asarray(p, dtype=dtype) for p in pmasks_np),
+            ms,
+            cs_tail,
+            jnp.asarray(self._to_slabs(to4(b), 1, 0), dtype=dtype),
+            jnp.asarray(self._to_slabs(to4(u_bc), 1, 0), dtype=dtype),
+        )
+        # slabs (nd, d, mp, Ny, Nz) -> global (d, Nx, Ny, Nz) -> node-major
+        parts = [
+            np.asarray(x_slabs[r][:, : self.cuts[0][r + 1] - self.cuts[0][r]])
+            for r in range(self.n_dev)
+        ]
+        x4 = np.concatenate(parts, axis=1)
+        x = np.moveaxis(x4, 0, -1).reshape(-1)
+        return x, int(np.asarray(iters).ravel()[0])

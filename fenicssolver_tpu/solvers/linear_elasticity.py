@@ -404,6 +404,12 @@ class LinearElasticitySolver(SolverBase):
 
     # -- solve -------------------------------------------------------------------
     def solve_form(self, F, u_, bcs):
+        sp = self._solver_params()
+        if sp.get("distributed"):
+            # distributed routing happens inside solve_static (sharded
+            # vector lattice GMG on BoxMesh, halo CG otherwise) — do not
+            # divert to the serial AMG path
+            return self.solve_linear_problem(F, u_, bcs, spd=True)
         if self.dimension == 3 and self.function_space.ndof > 6000:
             return self.solve_amg(F, u_, bcs)
         return self.solve_linear_problem(F, u_, bcs, spd=True)

@@ -639,18 +639,58 @@ class SolverBase:
                 # counts are mesh-independent, unlike the Jacobi halo CG
                 info = getattr(self.mesh, "lattice_info", None)
                 V = self.function_space
+                lame = getattr(self, "lame_parameters", None)
                 if (
                     info is not None
-                    and type(V) is FunctionSpace
                     and V.degree == 1
                     and V.family == "CG"
+                    and (
+                        type(V) is FunctionSpace
+                        or (
+                            isinstance(V, VectorFunctionSpace)
+                            and V.vdim == 3
+                            and callable(lame)
+                        )
+                    )
                 ):
                     try:
                         ls = getattr(self, "_lattice_halo_solver", None)
                         if ls is None:
-                            from ..parallel.lattice import LatticeHaloSolver
+                            if type(V) is FunctionSpace:
+                                from ..parallel.lattice import (
+                                    LatticeHaloSolver,
+                                )
 
-                            ls = LatticeHaloSolver(A, info)
+                                ls = LatticeHaloSolver(A, info)
+                            else:
+                                # vector elasticity: 3x3 block taps from
+                                # the material's Lame parameters.  The
+                                # rediscretized-tap vector hierarchy is
+                                # only valid when the whole boundary is
+                                # clamped (the serial gmg_elastic shares
+                                # this limitation: free-surface rows are
+                                # not the truncated interior stencil and
+                                # the V-cycle stalls — measured res 0.17
+                                # after 500 iters on a cantilever)
+                                from ..ops.structured import LatticePattern
+                                from ..parallel.lattice import (
+                                    LatticeHaloVectorSolver,
+                                )
+
+                                pat = LatticePattern(*info["n"])
+                                bd = pat.boundary_vertices()
+                                fv = np.asarray(free).reshape(-1, V.vdim)
+                                if fv[bd].max() > 0.5:
+                                    raise ValueError(
+                                        "vector lattice GMG needs a fully "
+                                        "clamped boundary (free-surface "
+                                        "rows break the rediscretized-tap "
+                                        "hierarchy)"
+                                    )
+                                mu, lam_ = lame()
+                                ls = LatticeHaloVectorSolver(
+                                    A, info, mu, lam_
+                                )
                             self._lattice_halo_solver = ls
                         else:
                             ls.update_operator(A)
