@@ -99,6 +99,22 @@ def test():
     assert abs(c_d - C_D_REF) / C_D_REF < 0.05, c_d
     assert abs(c_l) < 0.05, c_l  # lift is O(1e-2): order-of-magnitude check
 
+    # optional: re-anchor the drag through the ITERATIVE saddle-point path
+    # (fieldsplit FGMRES + p-MG momentum V-cycles; ~36 min CPU f64, so
+    # opt-in): measured C_D = 5.5204 (1.06% of the published value)
+    import os as _os
+    if _os.environ.get("FST_DFG_ITERATIVE") == "1":
+        s_it = make_settings(24, transient=False, circle_pts=48, nu=NU_DFG)
+        spp = s_it["solver_settings"]["solver_parameters"]
+        spp["preconditioner"] = "fieldsplit"
+        spp["relative_tolerance"] = 1e-8
+        solver_it = CoupledNavierStokesSolver(s_it)
+        up_it = solver_it.solve()
+        drag_it, _ = solver_it.calc_drag_and_lift(up_it, 0, 1, [4])
+        c_d_it = scale * drag_it
+        print(f"DFG-2D-1 via fieldsplit: C_D = {c_d_it:.4f} (ref {C_D_REF})")
+        assert abs(c_d_it - C_D_REF) / C_D_REF < 0.05, c_d_it
+
     # steady solve at coarse resolution for the restart idiom below
     s = make_settings(10, transient=False)
     solver = CoupledNavierStokesSolver(s)
