@@ -293,29 +293,26 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
     N = n + 1
     ndof = N**3
     ncub = n**3
-    # per-cell geometry arrays, materialized ON DEVICE from the 6 per-type
-    # constants (host->device of the full (3,3,nc) arrays is ~500 MB and
-    # dominated the child wall through the axon tunnel; the measured
-    # program still consumes full per-cell arrays — struct-of-arrays,
-    # huge cell axis last per the TPU tiling rule)
+    # Setup is PURE HOST NUMPY and all device work happens inside the ONE
+    # jitted program below.  Under the axon tunnel every eager device op
+    # (asarray / broadcast_to / device_put) compiles its own tiny program
+    # remotely, 30-400 s APIECE under congestion — the former eager setup
+    # measured 394 s of "gmg setup" at n=104 and timed the child out.  The
+    # per-cell geometry arrays are still materialized on device from the 6
+    # per-type constants (host->device of the full (3,3,nc) arrays is
+    # ~500 MB through the tunnel), just inside the jit.
     Jinv1, det1 = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
                                    dtype=np.float32)  # (6,3,3), (6,)
-    JinvT = jnp.broadcast_to(
-        jnp.asarray(np.moveaxis(Jinv1, 0, -1))[:, :, :, None],
-        (3, 3, 6, ncub),
-    ).reshape(3, 3, 6 * ncub)
-    detJ_d = jnp.broadcast_to(
-        jnp.asarray(det1)[:, None], (6, ncub)
-    ).reshape(6 * ncub)
-    JinvT, detJ_d = jax.device_put((JinvT, detJ_d))
-    jax.block_until_ready((JinvT, detJ_d))
+    Jinv1T = np.ascontiguousarray(np.moveaxis(Jinv1, 0, -1))  # (3,3,6)
+    det1 = np.asarray(det1, dtype=np.float32)
     free3_np = np.zeros((N, N, N), dtype=np.float32)
     free3_np[1:-1, 1:-1, 1:-1] = 1.0
-    free3 = jnp.asarray(free3_np)
+    free3 = free3_np  # numpy: embeds as a constant at trace time
     t_gmg = time.perf_counter()
-    G = gmg.build_gmg(n, n, n)
+    G = gmg.build_gmg(n, n, n, device=False, dtype=np.float32)
     _log(
-        f"gmg setup {time.perf_counter() - t_gmg:.1f}s (levels={len(G.levels)})"
+        f"gmg setup (host) {time.perf_counter() - t_gmg:.1f}s "
+        f"(levels={len(G.levels)})"
     )
     table = stencil_entry_table()
     gref_np = np.array(
@@ -325,7 +322,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
         "BENCH_ASSEMBLY",
         "pallas-sym" if jax.default_backend() == "tpu" else "xla",
     )
-    gref_dev = jnp.asarray(gref_np)
+    gref_dev = gref_np  # converted at trace time inside the jit
     bf = jnp.bfloat16
     f32 = jnp.float32
     inner_iters = int(os.environ.get("BENCH_BF16_INNER", "4"))
@@ -540,40 +537,49 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
         coef, b3 = assemble(JinvT, detJ)
         return solve_one(coef, b3)
 
-    @jax.jit
-    def steps(JinvT, detJs):
-        """REPS assembly+solves in ONE dispatch (lax.scan over distinct
-        detJ inputs): tunnel latency amortized, dedup defeated."""
+    reps = int(os.environ.get("BENCH_REPS", "4"))
 
-        def body(_, detJ):
+    @jax.jit
+    def steps(seed):
+        """REPS assembly+solves in ONE dispatch (lax.scan over reps with
+        seed-distinct detJ perturbations): tunnel latency amortized, the
+        axon executor's (executable, inputs) dedup defeated by the seed
+        arg, and the geometry fields materialized on device INSIDE the
+        program (struct-of-arrays, huge cell axis last)."""
+        JinvT = jnp.broadcast_to(
+            jnp.asarray(Jinv1T)[:, :, :, None], (3, 3, 6, ncub)
+        ).reshape(3, 3, 6 * ncub)
+        det_base = jnp.broadcast_to(
+            jnp.asarray(det1)[:, None], (6, ncub)
+        ).reshape(6 * ncub)
+
+        def body(_, i):
+            detJ = det_base * (1.0 + 1e-6 * (seed + i + 1.0))
             x, iters, res = one(JinvT, detJ)
             return 0.0, (jnp.max(x), iters, res)
 
-        _, (umaxes, its, rs) = jax.lax.scan(body, 0.0, detJs)
+        _, (umaxes, its, rs) = jax.lax.scan(
+            body, 0.0, jnp.arange(reps, dtype=jnp.float32)
+        )
         return umaxes, its, rs
 
-    reps = int(os.environ.get("BENCH_REPS", "4"))
-    mk = lambda seed: jnp.stack(
-        [detJ_d * (1.0 + 1e-6 * (seed + i + 1)) for i in range(reps)]
-    )
-    detJs_warm = jax.device_put(mk(0))
-    detJs_time = jax.device_put(mk(reps))
-    jax.block_until_ready((detJs_warm, detJs_time))
     setup_s = time.perf_counter() - t_setup0
     t_c = time.perf_counter()
-    umaxes, its, rs = steps(JinvT, detJs_warm)
-    jax.block_until_ready(umaxes)
-    iters, res = int(its[-1]), float(rs[-1])
+    umaxes, its, rs = steps(np.float32(0.0))
+    # np.asarray = pure device->host transfer forcing completion; indexing
+    # the device array ([-1]) would compile ANOTHER tiny program remotely
+    iters, res = int(np.asarray(its)[-1]), float(np.asarray(rs)[-1])
     _log(
         f"compile+warm ({reps} solves) {time.perf_counter() - t_c:.1f}s "
         f"(iters={iters}, res={res:.2e})"
     )
     t0 = time.perf_counter()
-    umaxes, its, rs = steps(JinvT, detJs_time)
-    umax = float(umaxes[-1])  # host fetch forces completion
+    umaxes, its, rs = steps(np.float32(reps))
+    umax = float(np.asarray(umaxes)[-1])  # host fetch forces completion
     dt = (time.perf_counter() - t0) / reps
     x_like = np.array([umax], dtype=np.float32)  # umax is the check value
-    return ndof, dt, int(its[-1]), float(rs[-1]), x_like, setup_s
+    return (ndof, dt, int(np.asarray(its)[-1]), float(np.asarray(rs)[-1]),
+            x_like, setup_s)
 
 
 # ---------------------------------------------------------------------------
@@ -750,21 +756,25 @@ def tpu_run_elasticity(n, tol, maxiter):
     N = n + 1
     ndof = 3 * N**3
     MU, LAM = 1.0, 1.5
-    mu3 = jnp.full((n, n, n), MU, dtype=jnp.float32)
-    lam3 = jnp.full((n, n, n), LAM, dtype=jnp.float32)
+    # pure-host setup; ALL device work happens inside the one jitted
+    # program (each eager op is a separate remote compile through the axon
+    # tunnel — the former eager setup burned 435 s at n=80 and timed the
+    # child out; see tpu_run_stencil)
     groups = elasticity_stencil_tables(n, n, n)
     Jinv1, det1 = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
                                    dtype=np.float64)
     det6 = np.asarray(det1, dtype=np.float64)  # (6,) per-type |detJ|
     free3_np = np.zeros((N, N, N), dtype=np.float32)
     free3_np[1:-1, 1:-1, 1:-1] = 1.0
-    free3 = jnp.asarray(free3_np)
+    free3 = free3_np  # numpy: embeds as a constant at trace time
     t_gmg = time.perf_counter()
-    G = gmg_elastic.build_gmg_elastic(n, n, n, MU, LAM)
-    _log(f"gmg-elastic setup {time.perf_counter() - t_gmg:.1f}s "
+    G = gmg_elastic.build_gmg_elastic(
+        n, n, n, MU, LAM, device=False, dtype=np.float32
+    )
+    _log(f"gmg-elastic setup (host) {time.perf_counter() - t_gmg:.1f}s "
          f"(levels={len(G.levels)})")
-    Bmu_c = [jnp.asarray(Bmu.astype(np.float32)) for _, _, Bmu, _ in groups]
-    Blam_c = [jnp.asarray(Blam.astype(np.float32)) for _, _, _, Blam in groups]
+    Bmu_c = [Bmu.astype(np.float32) for _, _, Bmu, _ in groups]
+    Blam_c = [Blam.astype(np.float32) for _, _, _, Blam in groups]
 
     by_oi = {}
     for gi, (oi, ca, _, _) in enumerate(groups):
@@ -872,38 +882,43 @@ def tpu_run_elasticity(n, tol, maxiter):
         res = jnp.sqrt(dot(r, r)) / bnorm
         return x, iters, res
 
-    @jax.jit
-    def steps(mus, lam3):
-        """REPS assembly+solves in ONE dispatch (scan over distinct mu
-        fields): the ~26 ms tunnel round-trip is amortized 1/REPS."""
+    reps = int(os.environ.get("BENCH_REPS", "4"))
 
-        def body(_, mu3):
+    @jax.jit
+    def steps(seed):
+        """REPS assembly+solves in ONE dispatch (scan over seed-distinct
+        mu fields, materialized inside the program): the ~26 ms tunnel
+        round-trip is amortized 1/REPS and the executor dedup defeated."""
+        lam3 = jnp.full((n, n, n), LAM, dtype=jnp.float32)
+
+        def body(_, i):
+            mu3 = jnp.full((n, n, n), MU, dtype=jnp.float32) * (
+                1.0 + 1e-6 * (seed + i + 1.0)
+            )
             x, iters, res = step(mu3, lam3)
             return 0.0, (jnp.max(jnp.abs(x)), iters, res)
 
-        _, (umaxes, its, rs) = jax.lax.scan(body, 0.0, mus)
+        _, (umaxes, its, rs) = jax.lax.scan(
+            body, 0.0, jnp.arange(reps, dtype=jnp.float32)
+        )
         return umaxes, its, rs
 
-    reps = int(os.environ.get("BENCH_REPS", "4"))
-    mk = lambda seed: jnp.stack(
-        [mu3 * (1.0 + 1e-6 * (seed + i + 1)) for i in range(reps)]
-    )
-    mus_warm = jax.device_put(mk(0))
-    mus_time = jax.device_put(mk(reps))
-    jax.block_until_ready((mus_warm, mus_time))
     setup_s = time.perf_counter() - t_setup0
     t_c = time.perf_counter()
-    umaxes, its, rs = steps(mus_warm, lam3)
-    jax.block_until_ready(umaxes)
+    umaxes, its, rs = steps(np.float32(0.0))
+    # np.asarray = transfer-only host fetch (indexing the device array
+    # would remote-compile a tiny slice program; see tpu_run_stencil)
     _log(f"elasticity compile+warm ({reps} solves) "
          f"{time.perf_counter() - t_c:.1f}s "
-         f"(iters={int(its[-1])}, res={float(rs[-1]):.2e})")
+         f"(iters={int(np.asarray(its)[-1])}, "
+         f"res={float(np.asarray(rs)[-1]):.2e})")
     t0 = time.perf_counter()
-    umaxes, its, rs = steps(mus_time, lam3)
-    umax = float(umaxes[-1])  # host fetch forces completion
+    umaxes, its, rs = steps(np.float32(reps))
+    umax = float(np.asarray(umaxes)[-1])  # host fetch forces completion
     dt = (time.perf_counter() - t0) / reps
     x_like = np.array([umax], dtype=np.float32)
-    return ndof, dt, int(its[-1]), float(rs[-1]), x_like, setup_s
+    return (ndof, dt, int(np.asarray(its)[-1]), float(np.asarray(rs)[-1]),
+            x_like, setup_s)
 
 
 def cpu_baseline_elasticity(n, tol, maxiter):

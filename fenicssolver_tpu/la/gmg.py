@@ -143,14 +143,25 @@ def build_gmg(
     omega=0.8,
     dtype=None,
     identity_on_constrained=True,
+    device=True,
 ):
     """Host setup of the level hierarchy.
 
     ``free3``: 0/1 fine-lattice mask of unconstrained dofs (default: whole
-    boundary Dirichlet).  Coarse masks are derived by vertex injection."""
-    import jax
+    boundary Dirichlet).  Coarse masks are derived by vertex injection.
 
-    dtype = dtype or jnp.zeros(()).dtype
+    ``device=False`` keeps every array numpy: under the axon remote-compile
+    tunnel EACH eager ``jnp.asarray`` conversion compiles a tiny program
+    remotely (30-400 s apiece under congestion — measured 394 s of "gmg
+    setup" at n=104), while numpy hierarchies embed as constants when the
+    solver is jitted, costing zero extra compiles."""
+    from jax.dtypes import canonicalize_dtype
+
+    # host-side default-dtype probe: jnp.zeros(()).dtype would dispatch an
+    # eager device program just to read the dtype
+    dtype = dtype or canonicalize_dtype(np.float64)
+    _as = (lambda a, dtype: np.asarray(a, dtype=dtype)) if not device \
+        else jnp.asarray
     n = np.array([nx, ny, nz])
     h = np.array(extent, dtype=np.float64) / n
     if free3 is None:
@@ -166,9 +177,9 @@ def build_gmg(
         coefs = p1_box_stencil(*h)
         levels.append(
             GMGLevel(
-                coefs=jnp.asarray(coefs, dtype=dtype),
-                free3=jnp.asarray(free3, dtype=dtype),
-                inv_diag=jnp.asarray(1.0 / coefs[CENTER_IDX], dtype=dtype),
+                coefs=_as(coefs, dtype=dtype),
+                free3=_as(free3, dtype=dtype),
+                inv_diag=_as(1.0 / coefs[CENTER_IDX], dtype=dtype),
             )
         )
         n = n // 2
@@ -189,7 +200,7 @@ def build_gmg(
     # factor-|A| relative pollution of the prolongated correction that
     # stalls PCG whenever the operator scale is far from 1 (e.g. elastic
     # moduli ~1e11; invisible at the unit-coefficient test scale)
-    coarse_inv = jnp.asarray(
+    coarse_inv = _as(
         fr[:, None] * np.linalg.inv(D) * fr[None, :], dtype=dtype
     )
     fine_free = None
@@ -199,7 +210,7 @@ def build_gmg(
             if levels
             else free3.ravel().astype(np.float64)
         )
-        fine_free = jnp.asarray(f0, dtype=dtype)
+        fine_free = _as(f0, dtype=dtype)
     return GMGData(
         levels=tuple(levels),
         coarse_inv=coarse_inv,

@@ -80,9 +80,15 @@ def stencil_apply_vec(x, coefs):
 def build_gmg_elastic(
     nx, ny, nz, mu, lam, extent=(1.0, 1.0, 1.0), free3=None,
     coarse_max=800, nu=2, omega=0.6, dtype=None,
-    identity_on_constrained=True,
+    identity_on_constrained=True, device=True,
 ):
-    dtype = dtype or jnp.zeros(()).dtype
+    """``device=False`` keeps the hierarchy numpy (embeds as jit constants,
+    zero eager device programs) — see ``la/gmg.py build_gmg``."""
+    from jax.dtypes import canonicalize_dtype
+
+    dtype = dtype or canonicalize_dtype(np.float64)
+    _as = (lambda a, dtype: np.asarray(a, dtype=dtype)) if not device \
+        else jnp.asarray
     n = np.array([nx, ny, nz])
     h = np.array(extent, dtype=np.float64) / n
     if free3 is None:
@@ -98,9 +104,9 @@ def build_gmg_elastic(
         taps = elastic_box_stencil(*h, mu, lam)
         levels.append(
             GMGElasticLevel(
-                coefs=jnp.asarray(taps, dtype=dtype),
-                free3=jnp.asarray(free3, dtype=dtype),
-                inv_center=jnp.asarray(
+                coefs=_as(taps, dtype=dtype),
+                free3=_as(free3, dtype=dtype),
+                inv_center=_as(
                     np.linalg.inv(taps[CENTER_IDX]), dtype=dtype
                 ),
             )
@@ -122,7 +128,7 @@ def build_gmg_elastic(
     D = fr[:, None] * D * fr[None, :] + np.diag(1.0 - fr)
     # masked inverse: see la/gmg.py — unmasked identity rows pollute the
     # prolongated correction by the operator scale (~1e11 for elasticity)
-    coarse_inv = jnp.asarray(
+    coarse_inv = _as(
         fr[:, None] * np.linalg.inv(D) * fr[None, :], dtype=dtype
     )
     fine_free = None
@@ -132,7 +138,7 @@ def build_gmg_elastic(
             if levels
             else free3.astype(np.float64)
         )
-        fine_free = jnp.asarray(
+        fine_free = _as(
             np.repeat(np.asarray(f0).ravel(), 3), dtype=dtype
         )
     return GMGElasticData(

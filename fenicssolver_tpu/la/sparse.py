@@ -58,7 +58,7 @@ class CSRMatrix(NamedTuple):
         )
 
 
-def build_pattern(cell_dofs_list, ndof, ensure_diagonal=True):
+def build_pattern(cell_dofs_list, ndof, ensure_diagonal=True, device=True):
     """Build a CSR pattern from one or more (n_ent, k) dof maps.
 
     Returns (pattern, positions) where positions[i] maps each (entity, a, b)
@@ -66,7 +66,13 @@ def build_pattern(cell_dofs_list, ndof, ensure_diagonal=True):
     target for element matrices.  ``ensure_diagonal`` adds a (i, i) slot for
     every dof so constrained/orphan rows (Dirichlet, periodic slaves) always
     have a diagonal to pin.
+
+    ``device=False`` keeps the index arrays numpy: they embed as constants
+    when the consumer jits, and host-only setup avoids eager round-trips
+    through the axon TPU tunnel, whose per-op latency under congestion is
+    seconds-to-minutes (see bench.py / la/gmg.py).
     """
+    _as = jnp.asarray if device else (lambda a: np.asarray(a))
     keys = []
     sizes = []
     for cd in cell_dofs_list:
@@ -87,12 +93,12 @@ def build_pattern(cell_dofs_list, ndof, ensure_diagonal=True):
     positions = []
     off = 0
     for s in sizes:
-        positions.append(jnp.asarray(inverse[off : off + s]))
+        positions.append(_as(inverse[off : off + s]))
         off += s
     pattern = CSRPattern(
-        indptr=jnp.asarray(indptr),
-        indices=jnp.asarray(cols_u),
-        rows=jnp.asarray(rows_u),
+        indptr=_as(indptr),
+        indices=_as(cols_u),
+        rows=_as(rows_u),
         n=int(ndof),
         nnz=int(nnz),
     )

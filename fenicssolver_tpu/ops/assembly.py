@@ -67,13 +67,18 @@ class Form:
     generation: int = 0  # unique token stamped at finalize (cache key)
     aux_version: int = 0  # bumped on in-place term.aux refresh (cache key)
 
-    def finalize(self):
-        """Build the CSR pattern covering all terms and fill slot maps."""
+    def finalize(self, device=True):
+        """Build the CSR pattern covering all terms and fill slot maps.
+
+        ``device=False`` keeps pattern/slot arrays numpy (host-only setup,
+        embedded as jit constants — see la/sparse.build_pattern)."""
         global _FORM_GENERATION
         maps = [np.asarray(t.ctx.cell_dofs) for t in self.cell_terms] + [
             np.asarray(t.ctx.cell_dofs) for t in self.facet_terms
         ]
-        self.pattern, positions = build_pattern(maps, self.space.ndof)
+        self.pattern, positions = build_pattern(
+            maps, self.space.ndof, device=device
+        )
         for t, pos in zip(self.cell_terms + self.facet_terms, positions):
             t.pos = pos
         _FORM_GENERATION += 1
@@ -164,7 +169,8 @@ class DirichletData:
         self._dofs.append(dofs)
         self._vals.append(np.array(values))
 
-    def finalize(self):
+    def finalize(self, device=True):
+        """``device=False`` keeps the masks numpy (host-only setup)."""
         if self._dofs:
             dofs = np.concatenate(self._dofs)
             vals = np.concatenate(self._vals)
@@ -180,8 +186,9 @@ class DirichletData:
         free[dofs] = 0.0
         ubc = np.zeros(self.ndof, dtype=self.dtype)
         ubc[dofs] = vals
-        self.free_mask = jnp.asarray(free)
-        self.u_bc = jnp.asarray(ubc)
+        _as = jnp.asarray if device else (lambda a: a)
+        self.free_mask = _as(free)
+        self.u_bc = _as(ubc)
         self.dofs = dofs
         return self
 

@@ -156,8 +156,12 @@ def _affine_geometry(coords, cells_arr, tdim):
     return Xe, detJ, Jinv
 
 
-def build_cell_context(space, quad_degree, coords=None):
-    """Build the device cell batch for a space (or mixed space)."""
+def build_cell_context(space, quad_degree, coords=None, device=True):
+    """Build the device cell batch for a space (or mixed space).
+
+    ``device=False`` keeps the batch numpy (host-only setup; the arrays
+    embed as constants when the consumer jits — avoids eager round-trips
+    through the axon TPU tunnel, see la/sparse.build_pattern)."""
     mesh = space.mesh
     coords = mesh.coords if coords is None else np.asarray(coords)
     tdim = mesh.tdim
@@ -165,12 +169,13 @@ def build_cell_context(space, quad_degree, coords=None):
     qp, _ = elements.quadrature(tdim, quad_degree)
     lam = np.concatenate([1 - qp.sum(axis=1, keepdims=True), qp], axis=1)  # (nq, nvc)
     qpx = np.einsum("qv,cvg->cqg", lam, Xe)
+    _as = jnp.asarray if device else (lambda a: np.asarray(a))
     return CellContext(
-        cell_dofs=jnp.asarray(space.cell_dofs),
-        Xe=jnp.asarray(Xe),
-        detJ=jnp.asarray(detJ),
-        Jinv=jnp.asarray(Jinv),
-        qpx=jnp.asarray(qpx),
+        cell_dofs=_as(space.cell_dofs),
+        Xe=_as(Xe),
+        detJ=_as(detJ),
+        Jinv=_as(Jinv),
+        qpx=_as(qpx),
     )
 
 
