@@ -21,6 +21,7 @@ EXAMPLES = [
     "test_fsi.py",
     "test_plasticity.py",
     "test_maxwell_em.py",
+    "test_compressible_flow.py",
 ]
 
 here = os.path.dirname(os.path.abspath(__file__))

@@ -33,6 +33,10 @@ _SOLVER_EXPORTS = {
     "NonlinearElasticitySolver": "fenicssolver_tpu.solvers.nonlinear_elasticity",
     "LargeDeformationSolver": "fenicssolver_tpu.solvers.large_deformation",
     "CoupledNavierStokesSolver": "fenicssolver_tpu.solvers.navier_stokes",
+    "CompressibleNSSolver": "fenicssolver_tpu.solvers.compressible_ns",
+    "PlasticitySolver": "fenicssolver_tpu.solvers.plasticity",
+    "MaxwellEMSolver": "fenicssolver_tpu.solvers.maxwell",
+    "WavePropagationSolver": "fenicssolver_tpu.solvers.wave",
     "CoupledSolver": "fenicssolver_tpu.solvers.fsi",
     "FSISolver": "fenicssolver_tpu.solvers.fsi",
     "main": "fenicssolver_tpu.main",

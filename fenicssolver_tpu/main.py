@@ -78,6 +78,10 @@ def main(case_input):
         from .solvers.wave import WavePropagationSolver
 
         solver = WavePropagationSolver(settings)
+    elif solver_name == "CompressibleNSSolver":
+        from .solvers.compressible_ns import CompressibleNSSolver
+
+        solver = CompressibleNSSolver(settings)
     else:
         raise NotImplementedError(f"solver {solver_name} is not supported")
     solver.solve()
