@@ -253,10 +253,13 @@ class CompressibleNSSolver(SolverBase):
         p = (self.gamma - 1.0) * (E - 0.5 * (m * u).sum(axis=0))
         return rho, m, E, u, p
 
-    def _apply_bcs(self, U):
-        """Strong nodal BCs on conservative variables (jit-traceable)."""
+    def _apply_bcs(self, U, b=None):
+        """Strong nodal BCs on conservative variables (jit-traceable).
+
+        ``b``: the boundary plan dict (defaults to the serial
+        ``self._bplan``; the distributed path passes rank-local arrays)."""
         d = self.dimension
-        b = self._bplan
+        b = self._bplan if b is None else b
         gamma, cv = self.gamma, self.cv
         rho = U[0]
         m = U[1 : 1 + d]
@@ -279,11 +282,16 @@ class CompressibleNSSolver(SolverBase):
         E = (1.0 - pm) * E + pm * (b["p_val"] / (gamma - 1.0) + ke_new)
         return jnp.concatenate([rho[None], m, E[None]], axis=0)
 
-    def _rhs(self, U):
+    def _rhs(self, U, t=None):
         """dU/dt = M_lump^{-1} R(U): group-FEM flux + viscous + artificial
-        viscosity + boundary flux.  Shapes: U (d+2, ndof)."""
+        viscosity + boundary flux.  Shapes: U (d+2, ndof).
+
+        ``t``: geometry/connectivity table dict (defaults to the serial
+        ``self._tables``; the distributed path passes rank-local padded
+        tables, where padded entities carry zero volume/area and index
+        the safe dummy slot)."""
         d = self.dimension
-        t = self._tables
+        t = self._tables if t is None else t
         cd, vol, dphig, h_e = t["cd"], t["vol"], t["dphig"], t["h_e"]
         k = cd.shape[1]
         gamma, mu, Pr, cp = self.gamma, self.mu, self.Pr, self.cp
@@ -392,6 +400,90 @@ class CompressibleNSSolver(SolverBase):
 
         return step
 
+    def _march_distributed(self, U0, dt, nsteps):
+        """Sharded transient: halo exchange INSIDE the ``lax.scan``.
+
+        The reference gets full-solver MPI parallelism for free from
+        dolfin/PETSc (``FenicsSolver/SolverBase.py:102-118``); here the
+        explicit update is sharded with `parallel/explicit.py`'s
+        node-partition + ghost-cell-replication layout — per RK stage the
+        only communication is one offset-grouped ``ppermute`` ghost
+        refresh (O(interface) values over ICI), and the WHOLE transient
+        stays one device dispatch.  Returns the gathered global final
+        state (numpy)."""
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.explicit import AXIS, HaloExplicitStepper
+
+        t = self._tables
+        d = self.dimension
+        st = HaloExplicitStepper(
+            np.asarray(self.mesh.coords), [t["cd"], t["bfv"]]
+        )
+        tloc = dict(
+            cd=st.ldofs[0],
+            vol=st.localize(0, t["vol"]),
+            dphig=st.localize(0, t["dphig"]),
+            h_e=st.localize(0, t["h_e"]),
+            bfv=st.ldofs[1],
+            bfa=st.localize(1, t["bfa"]),
+            bfn=st.localize(1, t["bfn"]),
+            mlump=st.scatter_nodal(t["mlump"], pad=1.0),
+        )
+        bploc = {k: st.scatter_nodal(v) for k, v in self._bplan.items()}
+        # dummy/pad slots hold a safe thermodynamic state (rho = 1, E = 1)
+        # — padded elements gather them, then multiply by zero volume
+        safe = np.zeros(d + 2)
+        safe[0] = safe[-1] = 1.0
+        U0_loc = st.scatter_nodal(np.asarray(U0), pad=safe)
+        sends, recvs = st.comm_arrays()
+        own = st.own_mask
+
+        nsr = len(sends)
+        in_specs = (
+            P(AXIS),  # tables (tree prefix)
+            P(AXIS),  # boundary plan (tree prefix)
+            P(AXIS),  # own_mask
+            tuple(P(AXIS) for _ in range(nsr)),
+            tuple(P(AXIS) for _ in range(nsr)),
+            P(AXIS),  # U0
+        )
+
+        @partial(
+            shard_map,
+            mesh=st.device_mesh,
+            in_specs=in_specs,
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+        def march(tabs, bp, own_m, snds, rcvs, U):
+            tabs = jax.tree_util.tree_map(lambda a: a[0], tabs)
+            bp = jax.tree_util.tree_map(lambda a: a[0], bp)
+            own_m = own_m[0]
+            snds = tuple(s[0] for s in snds)
+            rcvs = tuple(r[0] for r in rcvs)
+            U = U[0]
+            exchange = st.make_exchange(snds, rcvs)
+
+            def stage(U):
+                Ux = exchange(U)  # refresh ghosts from owners
+                Un = Ux + dt * (own_m * self._rhs(Ux, tabs))
+                return self._apply_bcs(Un, bp)
+
+            def body(U, _):
+                U1 = stage(U)
+                U2 = stage(U1)
+                return 0.5 * U + 0.5 * U2, 0.0
+
+            U, _ = jax.lax.scan(body, U, None, length=nsteps)
+            return U[None]
+
+        U_loc = jax.jit(march)(tloc, bploc, own, sends, recvs, U0_loc)
+        return st.gather_nodal(np.asarray(U_loc))
+
     def solve(self):
         """March transient_settings.[starting_time, ending_time] with fixed
         ``time_step`` (or a CFL-derived one), all steps inside ONE
@@ -412,18 +504,26 @@ class CompressibleNSSolver(SolverBase):
         nsteps = max(int(round((t1 - t0) / dt)), 1)
         dt = (t1 - t0) / nsteps
         U0 = jnp.asarray(self._apply_bcs(jnp.asarray(self._initial_state())))
-        step = self.step_function(dt)
+        sp = self.solver_settings.get("solver_parameters") or {}
+        if sp.get("distributed") and len(jax.devices()) > 1:
+            Uh = self._march_distributed(np.asarray(U0), dt, nsteps)
+        else:
+            if sp.get("distributed"):
+                self.logger.warning(
+                    "distributed solve requested but only one device is "
+                    "visible; falling back to the serial path"
+                )
+            step = self.step_function(dt)
 
-        @jax.jit
-        def march(U):
-            def body(U, _):
-                return step(U), 0.0
+            @jax.jit
+            def march(U):
+                def body(U, _):
+                    return step(U), 0.0
 
-            U, _ = jax.lax.scan(body, U, None, length=nsteps)
-            return U
+                U, _ = jax.lax.scan(body, U, None, length=nsteps)
+                return U
 
-        U = march(U0)
-        Uh = np.asarray(U)
+            Uh = np.asarray(march(U0))
         if not np.isfinite(Uh).all():
             raise SolverError(
                 f"CompressibleNSSolver diverged (non-finite state after "
