@@ -600,9 +600,20 @@ class CoupledNavierStokesSolver(SolverBase):
                                     nu_spec, nu_nonlinear):
         """F += p_bc/rho n.v ds - nu ((grad u + grad u^T) n).v ds
         (reference ``:449-452``: consistent boundary terms for open
-        boundaries; the pressure term uses the prescribed value)."""
+        boundaries; the pressure term uses the prescribed value).
+
+        ``advection_settings.backflow_stabilization`` (default off =
+        reference parity) additionally adds the DIRECTIONAL do-nothing
+        term  - 1/2 (u.n)_- (u.v) ds  (Braack & Mucha's energy-stable
+        outflow): exactly zero wherever the flow leaves the domain
+        (u.n >= 0), and for backflow it cancels the convective energy
+        influx  1/2 (u.n)|u|^2  that makes the plain do-nothing form
+        unbounded — a DOCUMENTED DEVIATION option, since the reference's
+        form (``:449-452``) has no backflow treatment."""
         if len(fids) == 0:
             return
+        ads = self.settings.get("advection_settings") or {}
+        backflow = bool(ads.get("backflow_stabilization"))
         self._mom_facet_ids.append(np.asarray(fids))
         W = self.function_space
         Vv = W.subspaces[0]
@@ -654,6 +665,14 @@ class CoupledNavierStokesSolver(SolverBase):
             else:
                 tv = nu_q * tv
             r_v = r_v - jnp.einsum("q,qv,qk->kv", wdetF, tv, phif)
+            if backflow:
+                # directional do-nothing: -1/2 (u.n)_- u.v  (kinematic
+                # units, matching the p/rho and nu scaling of this form)
+                u_qf = jnp.einsum("qk,kv->qv", phif, U)
+                un_m = jnp.minimum(jnp.einsum("qv,v->q", u_qf, n), 0.0)
+                r_v = r_v - 0.5 * jnp.einsum(
+                    "q,qv,qk->kv", wdetF * un_m, u_qf, phif
+                )
             r = jnp.zeros(we.shape[0], dtype=we.dtype)
             return r.at[:nu_off].set(r_v.reshape(-1))
 
