@@ -87,9 +87,39 @@ def build_block_ell(indptr, indices, n, ncols=None):
     return K, nrb, col_blocks, pos
 
 
-def block_ell_from_csr(A, n=None):
+def permuted_csr_pattern(indptr, indices, perm):
+    """Symmetric permutation of a CSR pattern: rows regrouped in ``perm``
+    order, columns relabelled.  Returns (indptr2, indices2, take) where
+    ``take`` gathers the matching data (``data2 = data[take]``) — one
+    vectorized ragged gather, no python loop."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    n = len(indptr) - 1
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    counts = np.diff(indptr)[perm]
+    ip2 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=ip2[1:])
+    nnz = int(counts.sum())
+    take = (
+        np.repeat(indptr[perm], counts)
+        + np.arange(nnz, dtype=np.int64)
+        - np.repeat(ip2[:-1], counts)
+    )
+    return ip2, inv[indices[take]], take
+
+
+def block_ell_from_csr(A, n=None, perm=None):
     """Convert a CSRMatrix (or scipy csr) to BlockELL (host setup + one
-    device scatter)."""
+    device scatter).
+
+    ``perm``: optional symmetric permutation (e.g. from
+    ``la.sparse_algebra.bandwidth_ordering``) applied to rows AND columns
+    before tiling — the returned operator then acts in PERMUTED space
+    (``y_p = A_bell @ x_p`` with ``x_p = x[perm]``); the caller permutes
+    vectors once outside its Krylov/scan loop.  Bandwidth-reducing perms
+    shrink K (distinct 128-column blocks per 8-row block), the direct
+    factor on tile memory and per-matvec HBM traffic."""
     if hasattr(A, "pattern"):
         indptr = np.asarray(A.pattern.indptr)
         indices = np.asarray(A.pattern.indices)
@@ -99,6 +129,9 @@ def block_ell_from_csr(A, n=None):
         A = A.tocsr()
         indptr, indices, data = A.indptr, A.indices, jnp.asarray(A.data)
         n = A.shape[0]
+    if perm is not None:
+        indptr, indices, take = permuted_csr_pattern(indptr, indices, perm)
+        data = data[jnp.asarray(take)]
     K, nrb, col_blocks, pos = build_block_ell(indptr, indices, n)
     tiles = (
         jnp.zeros(K * nrb * BR * BC, dtype=data.dtype)

@@ -141,6 +141,95 @@ def _build_exchange_rounds(owner, ghosts, l2l, gc, nd, L):
     return perms, send_list, recv_list
 
 
+def _row_take(indptr, ids):
+    """nnz gather indices for rows ``ids`` IN ``ids`` ORDER (vectorized
+    ragged ranges — works for arbitrarily permuted row lists, unlike the
+    global-row-order _group_by_rank slices).  Returns (take, counts)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    counts = indptr[ids + 1] - indptr[ids]
+    ptr = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    take = (
+        np.repeat(indptr[ids], counts)
+        + np.arange(int(ptr[-1]), dtype=np.int64)
+        - np.repeat(ptr[:-1], counts)
+    )
+    return take, counts
+
+
+def _local_tile_count(cols_local, counts, n_own_max, Lp):
+    """K (max distinct 128-col blocks per 8-row block) of one rank's local
+    row block — the block-ELL memory/HBM-traffic factor."""
+    from ..la.block_ell import BC as _BC, BR as _BR
+
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    key = (rows // _BR) * ((Lp // _BC) + 2) + cols_local // _BC
+    uniq = np.unique(key)
+    if not uniq.size:
+        return 0
+    rb = uniq // ((Lp // _BC) + 2)
+    return int(np.bincount(rb).max())
+
+
+def _reorder_rank_local(A, ids, gh, n_own_max, Lp):
+    """Pick-best local ordering for one rank (ROADMAP item 4: block-ELL
+    fill is the halo solvers' device-memory limiter).
+
+    Candidate: RCM over the rank's owned-owned adjacency (via
+    ``la.sparse_algebra.bandwidth_ordering``, pure numpy) + ghosts
+    clustered by the mean local row they couple to.  Kept only when it
+    REDUCES the rank's tile count K — grid-ordered meshes stay on the
+    natural order (measured: RCM regresses Kuhn-tet meshes 5->7 while
+    fixing Delaunay meshes 21->8)."""
+    from ..la.sparse_algebra import bandwidth_ordering
+
+    def cols_local_of(ids_o, gh_o):
+        keys = np.concatenate([ids_o, gh_o])
+        vals = np.concatenate([
+            np.arange(len(ids_o), dtype=np.int64),
+            n_own_max + np.arange(len(gh_o), dtype=np.int64),
+        ])
+        order = np.argsort(keys, kind="stable")
+        take, counts = _row_take(A.indptr, ids_o)
+        cols = A.indices[take].astype(np.int64)
+        pos = np.clip(np.searchsorted(keys[order], cols), 0, len(keys) - 1)
+        return vals[order][pos], counts  # every col is owned or ghost
+
+    if len(ids) == 0:
+        return ids, gh
+    cols0, counts0 = cols_local_of(ids, gh)
+    K0 = _local_tile_count(cols0, counts0, n_own_max, Lp)
+    if K0 <= 8:
+        # already near the per-row-nnz lower bound (lattice-ordered
+        # meshes land at K ~ 5-9): the RCM candidate cannot pay for its
+        # own setup cost, skip it
+        return ids, gh
+
+    S = A[ids][:, ids].tocsr()  # owned-owned adjacency (host scipy slice)
+    perm, _ = bandwidth_ordering(S.indptr, S.indices, len(ids))
+    if perm is None:
+        return ids, gh
+    ids2 = ids[perm]
+    if len(gh):
+        # cluster ghosts by the mean (permuted) owned row touching them
+        take, counts = _row_take(A.indptr, ids2)
+        cols = A.indices[take].astype(np.int64)
+        rows_loc = np.repeat(np.arange(len(ids2), dtype=np.int64), counts)
+        order = np.argsort(gh, kind="stable")
+        pos = np.clip(np.searchsorted(gh[order], cols), 0, len(gh) - 1)
+        isg = gh[order][pos] == cols
+        gidx = order[pos[isg]]
+        sums = np.bincount(gidx, weights=rows_loc[isg], minlength=len(gh))
+        cnts = np.maximum(np.bincount(gidx, minlength=len(gh)), 1)
+        gh2 = gh[np.argsort(sums / cnts, kind="stable")]
+    else:
+        gh2 = gh
+    cols1, counts1 = cols_local_of(ids2, gh2)
+    K1 = _local_tile_count(cols1, counts1, n_own_max, Lp)
+    return (ids2, gh2) if K1 < K0 else (ids, gh)
+
+
 class HaloShardedSolver:
     """Distributed CG for an assembled SPD system with Dirichlet masking."""
 
@@ -185,6 +274,15 @@ class HaloShardedSolver:
         L = n_own_max + n_ghost_max
         self.Lp = L + 1
         self.n_own_max = n_own_max
+        # per-rank pick-best local ordering: shrinks the block-ELL tile
+        # count K (the bell format's ~100x fill is the device-memory
+        # limiter of this solver, ROADMAP item 4); local slot ids are
+        # DEFINED by position in owned[r]/ghosts[r], so reordering these
+        # arrays is transparent to l2l/exchange/scatter
+        for r in range(nd):
+            owned[r], ghosts[r] = _reorder_rank_local(
+                A, owned[r], ghosts[r], n_own_max, self.Lp
+            )
 
         # global -> local per rank: O(n_own + n_ghost) sorted lookups, NOT
         # a dense (nd, ndof) map
@@ -197,17 +295,17 @@ class HaloShardedSolver:
         K_max = 0
         nrb = (n_own_max + BR - 1) // BR
         ell_parts = []
+        takes = []  # rebuilt in (possibly reordered) owned order
         for r in range(nd):
             ids = owned[r]
-            counts = (
-                A.indptr[ids + 1] - A.indptr[ids]
-                if len(ids)
-                else np.zeros(0, np.int64)
-            )
+            if len(ids):
+                take, counts = _row_take(A.indptr, ids)
+            else:
+                take = counts = np.zeros(0, np.int64)
+            takes.append(take)
             indptr_r = np.zeros(n_own_max + 1, dtype=np.int64)
             np.cumsum(counts, out=indptr_r[1 : len(ids) + 1])
             indptr_r[len(ids) + 1 :] = indptr_r[len(ids)]
-            take = takes[r]
             cols_local = l2l[r](A.indices[take]).astype(np.int32)
             data_r = A.data[take]
             K_r, nrb_r, cb_r, pos_r = build_block_ell(
@@ -647,6 +745,27 @@ class HaloElementSolver:
         L = n_own_max + n_ghost_max
         self.Lp = L + 1
         self.n_own_max = n_own_max
+
+        # per-rank pick-best local ordering (see HaloShardedSolver): the
+        # element path's local ids are DEFINED by position in
+        # owned[r]/ghosts[r] and every key below goes through l2l, so
+        # reordering the arrays transparently shrinks the block-ELL K;
+        # the dof adjacency comes from the element maps themselves
+        import scipy.sparse as _sp
+
+        adj_r = np.concatenate(
+            [np.repeat(dm, dm.shape[1], axis=1).ravel() for dm in dofmaps]
+        )
+        adj_c = np.concatenate(
+            [np.tile(dm, (1, dm.shape[1])).ravel() for dm in dofmaps]
+        )
+        A_adj = _sp.csr_matrix(
+            (np.ones(len(adj_r)), (adj_r, adj_c)), shape=(ndof, ndof)
+        )
+        for r in range(nd):
+            owned[r], ghosts[r] = _reorder_rank_local(
+                A_adj, owned[r], ghosts[r], n_own_max, self.Lp
+            )
 
         # global -> local: per-rank O(local) sorted lookups, no (nd, ndof)
         l2l = [

@@ -77,9 +77,28 @@ def compile_transient_heat(
     free = dirichlet.free_mask.astype(dtype)
     ubc = dirichlet.u_bc.astype(dtype)
 
-    A_bell = block_ell_from_csr(A)
-    K_bell = block_ell_from_csr(K)
-    diag = free * A.diagonal() + (1 - free)
+    # bandwidth ordering (pick-best vs natural): the whole scan runs in
+    # permuted space, so the one-time T0/T_final permutation is the only
+    # extra work while every SpMV streams K-times-fewer 8x128 tiles
+    # (ROADMAP item 4 — block-ELL fill is the bell path's memory limiter)
+    from ..la.sparse_algebra import bandwidth_ordering
+
+    perm, _Kwin = bandwidth_ordering(
+        np.asarray(A.pattern.indptr), np.asarray(A.pattern.indices), ndof
+    )
+    b_nat = b  # aux dict keeps natural-order arrays
+    if perm is not None:
+        pj = jnp.asarray(perm)
+        ipj = jnp.asarray(np.argsort(perm))
+        free, ubc, b = free[pj], ubc[pj], b[pj]
+        diag_nat = A.diagonal()[pj]
+    else:
+        pj = ipj = None
+        diag_nat = A.diagonal()
+
+    A_bell = block_ell_from_csr(A, perm=perm)
+    K_bell = block_ell_from_csr(K, perm=perm)
+    diag = free * diag_nat + (1 - free)
     inv_d = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
 
     def matvec(x):
@@ -89,6 +108,8 @@ def compile_transient_heat(
     def run(T0):
         # NOTE: T0 keeps its raw boundary values for the first CN step — the
         # python loop's w_prev also carries the unconstrained initial field
+        if pj is not None:
+            T0 = T0[pj]  # into permuted space (once, outside the scan)
 
         def step(T, _):
             # rhs = A Tprev - K Tprev + b  (since B = A - K for CN+implicit
@@ -125,9 +146,12 @@ def compile_transient_heat(
             return Tn, jnp.sqrt(jnp.vdot(Tn, Tn))
 
         T_final, norms = jax.lax.scan(step, T0, None, length=n_steps)
+        if ipj is not None:
+            T_final = T_final[ipj]  # back to natural order (L2 norms are
+            # permutation-invariant, no unpermute needed)
         return T_final, norms
 
-    return run, dict(A=A, K=K, b=b, dirichlet=dirichlet)
+    return run, dict(A=A, K=K, b=b_nat, dirichlet=dirichlet)
 
 
 def compile_transient_ns(solver, dt, n_steps, newton_iters=6, dtype=None,
