@@ -498,6 +498,491 @@ class LatticeHaloSolver:
         return x.ravel(), int(np.asarray(iters).ravel()[0])
 
 
+def _pencil_mesh_shape(nd):
+    """Factor ``nd`` devices into the most-square (ndx, ndy) grid: pencils
+    minimize interface area when the two spatial axes get comparable
+    device counts (ndx >= ndy)."""
+    ndy = 1
+    for q in range(2, int(np.sqrt(nd)) + 1):
+        if nd % q == 0:
+            ndy = q
+    return nd // ndy, ndy
+
+
+class LatticePencilSolver:
+    """2-D PENCIL-sharded GMG-CG on a BoxMesh lattice (ROADMAP item 8).
+
+    The slab solver cuts only lattice-x: its interface area per device is
+    a full (Ny, Nz) plane regardless of device count, so communication
+    volume stays O(Ny*Nz) while owned volume shrinks.  This class shards
+    x AND y over a (ndx, ndy) device mesh — the natural map onto the TPU
+    2-D ICI torus (each lattice axis rides one physical ring) — cutting
+    the per-device interface to O(Nx/ndx + Ny/ndy) strips:
+
+    - vectors live as (ndx, ndy, mpx, mpy, Nz) pencils; halos are TWO
+      sequential 1-plane ``ppermute`` exchanges (x then y — the y pass
+      moves the just-received x-halo strips too, so the 15-offset
+      stencil's diagonal-corner values arrive transitively, no explicit
+      corner messages),
+    - the V-cycle levels stay pencil-sharded with cuts aligned to 2^Ls
+      in BOTH sharded axes; restriction/prolongation are strided slices
+      of the doubly-haloed pencil (z stays local),
+    - the coarse tail is gathered with one 2-axis ``psum`` and runs
+      replicated, exactly as the slab solver.
+
+    Numerics (taps, smoother, masks) are identical to
+    :class:`LatticeHaloSolver`; only the decomposition differs.
+    """
+
+    def __init__(self, A, info, devices=None, gather_max=20000, nu=2,
+                 omega=0.8, mesh_shape=None):
+        devices = devices if devices is not None else jax.devices()
+        nd = len(devices)
+        self.n_dev = nd
+        if mesh_shape is None:
+            mesh_shape = _pencil_mesh_shape(nd)
+        ndx, ndy = int(mesh_shape[0]), int(mesh_shape[1])
+        assert ndx * ndy == nd, (mesh_shape, nd)
+        self.ndx, self.ndy = ndx, ndy
+        self._ax_x, self._ax_y = "lat_x", "lat_y"
+        self.device_mesh = DeviceMesh(
+            np.array(devices).reshape(ndx, ndy), (self._ax_x, self._ax_y)
+        )
+        n = tuple(int(v) for v in info["n"])
+        extent = tuple(float(v) for v in info.get("extent", (1.0, 1.0, 1.0)))
+        self.shape3 = tuple(nn + 1 for nn in n)
+        self.ndof = int(np.prod(self.shape3))
+        gather_max = min(gather_max, max(self.ndof // 4, 64))
+        h = np.array(extent) / np.array(n)
+
+        # sharded level count: every sharded level must divide all axes,
+        # keep >= 1 base block per device row/column along x AND y, and
+        # stop once the next level's grid fits under gather_max
+        Ls = 0
+        while True:
+            c = Ls + 1
+            nl = [nn >> c for nn in n]
+            if (
+                all(nn % (1 << c) == 0 for nn in n)
+                and n[0] >> c >= ndx
+                and n[1] >> c >= ndy
+                and all(v >= 2 for v in nl)
+                and int(np.prod([(nn >> Ls) + 1 for nn in n])) > gather_max
+            ):
+                Ls = c
+            else:
+                break
+        if Ls == 0:
+            raise ValueError(
+                f"lattice n={n} too small for a ({ndx},{ndy}) pencil "
+                "decomposition; use the slab or serial path"
+            )
+        self.Ls = Ls
+        self._tail_n = tuple(nn >> Ls for nn in n)
+
+        cx0 = _slab_cuts(n[0], ndx, Ls)
+        cy0 = _slab_cuts(n[1], ndy, Ls)
+        self.cuts_x, self.cuts_y = [], []
+        for l in range(Ls + 1):
+            cx = cx0 // (1 << l)
+            cx[ndx] = (n[0] >> l) + 1
+            self.cuts_x.append(cx)
+            cy = cy0 // (1 << l)
+            cy[ndy] = (n[1] >> l) + 1
+            self.cuts_y.append(cy)
+        mtx = int(np.max(np.diff(self.cuts_x[Ls])))
+        mty = int(np.max(np.diff(self.cuts_y[Ls])))
+        self.mpx = [mtx * (1 << (Ls - l)) for l in range(Ls)] + [mtx]
+        self.mpy = [mty * (1 << (Ls - l)) for l in range(Ls)] + [mty]
+
+        self.taps = [p1_box_stencil(*(h * (1 << l))) for l in range(Ls)]
+        self.nu, self.omega = nu, omega
+        self._extent = extent
+        self._n = n
+        coef = stencil_fields_from_csr(A, self.shape3)
+        self._coef_np = self._to_pencils(coef, axis=1, level=0)
+        self._compiled = {}
+
+    def update_operator(self, A):
+        coef = stencil_fields_from_csr(A, self.shape3)
+        self._coef_np = self._to_pencils(coef, axis=1, level=0)
+
+    # -- host-side pencil redistribution -----------------------------------
+    def _to_pencils(self, arr, axis, level):
+        """Global (..., X, Y, ...) -> (ndx, ndy, ..., mpx, mpy, ...) padded
+        pencils; the X axis sits at ``axis``, Y at ``axis``+1."""
+        cx, cy = self.cuts_x[level], self.cuts_y[level]
+        mpx, mpy = self.mpx[level], self.mpy[level]
+        out = np.zeros(
+            (self.ndx, self.ndy)
+            + arr.shape[:axis]
+            + (mpx, mpy)
+            + arr.shape[axis + 2 :],
+            dtype=arr.dtype,
+        )
+        pre = (slice(None),) * axis
+        for rx in range(self.ndx):
+            mx = cx[rx + 1] - cx[rx]
+            for ry in range(self.ndy):
+                my = cy[ry + 1] - cy[ry]
+                out[(rx, ry) + pre + (slice(0, mx), slice(0, my))] = arr[
+                    pre + (slice(cx[rx], cx[rx + 1]), slice(cy[ry], cy[ry + 1]))
+                ]
+        return out
+
+    def _from_pencils(self, pencils, level=0):
+        cx, cy = self.cuts_x[level], self.cuts_y[level]
+        rows = []
+        for rx in range(self.ndx):
+            mx = cx[rx + 1] - cx[rx]
+            rows.append(
+                np.concatenate(
+                    [
+                        np.asarray(
+                            pencils[rx, ry][:mx, : cy[ry + 1] - cy[ry]]
+                        )
+                        for ry in range(self.ndy)
+                    ],
+                    axis=1,
+                )
+            )
+        return np.concatenate(rows, axis=0)
+
+    def _level_masks(self, free3):
+        frees, pxs, pys = [], [], []
+        f = np.asarray(free3, dtype=np.float64)
+        for l in range(self.Ls + 1):
+            fl = f[:: 1 << l, :: 1 << l, :: 1 << l]
+            frees.append(self._to_pencils(fl, axis=0, level=l))
+            cx, cy = self.cuts_x[l], self.cuts_y[l]
+            px = np.zeros((self.ndx, self.mpx[l]))
+            for r in range(self.ndx):
+                px[r, : cx[r + 1] - cx[r]] = 1.0
+            py = np.zeros((self.ndy, self.mpy[l]))
+            for r in range(self.ndy):
+                py[r, : cy[r + 1] - cy[r]] = 1.0
+            pxs.append(px)
+            pys.append(py)
+        return frees, pxs, pys
+
+    # -- device program ----------------------------------------------------
+    def _build(self, tol, maxiter, dtype, G_tail):
+        Ls = self.Ls
+        mpxs, mpys = self.mpx, self.mpy
+        nu, om = self.nu, self.omega
+        taps = [jnp.asarray(t, dtype=dtype) for t in self.taps]
+        inv_diag = [
+            jnp.asarray(1.0 / t[CENTER_IDX], dtype=dtype) for t in self.taps
+        ]
+        ax_x, ax_y = self._ax_x, self._ax_y
+        perm_xr = [(r, r + 1) for r in range(self.ndx - 1)]
+        perm_xl = [(r + 1, r) for r in range(self.ndx - 1)]
+        perm_yr = [(r, r + 1) for r in range(self.ndy - 1)]
+        perm_yl = [(r + 1, r) for r in range(self.ndy - 1)]
+        tail_shape = tuple(v + 1 for v in self._tail_n)
+
+        def _shift_z(x, dz):
+            nn = x.shape[2]
+            if dz == 0:
+                return x
+            if dz > 0:
+                return jnp.pad(
+                    x[:, :, dz:], ((0, 0), (0, 0), (0, dz))
+                )
+            return jnp.pad(x[:, :, : nn + dz], ((0, 0), (0, 0), (-dz, 0)))
+
+        def with_halo2(x, mx, my):
+            """(mpx, mpy, Nz) owned pencil -> (mpx+2, mpy+2, Nz) haloed.
+            The y pass runs on the x-extended array so the 4 corner strips
+            (owned by diagonal neighbours) arrive transitively; edge ranks
+            get zeros (out-of-domain taps are zero)."""
+            lastx = jax.lax.dynamic_slice_in_dim(x, mx - 1, 1, 0)
+            firstx = x[0:1]
+            from_xm = jax.lax.ppermute(lastx, ax_x, perm_xr)
+            from_xp = jax.lax.ppermute(firstx, ax_x, perm_xl)
+            xe = jnp.concatenate([from_xm, x, jnp.zeros_like(firstx)], 0)
+            xe = jax.lax.dynamic_update_slice_in_dim(xe, from_xp, mx + 1, 0)
+            lasty = jax.lax.dynamic_slice_in_dim(xe, my - 1, 1, 1)
+            firsty = xe[:, 0:1]
+            from_ym = jax.lax.ppermute(lasty, ax_y, perm_yr)
+            from_yp = jax.lax.ppermute(firsty, ax_y, perm_yl)
+            ye = jnp.concatenate([from_ym, xe, jnp.zeros_like(firsty)], 1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                ye, from_yp, my + 1, 1
+            )
+
+        def apply_stencil2(xe, t, mpx, mpy):
+            """xe doubly haloed; t: (15,) taps or (15, mpx, mpy, Nz)."""
+            y = t[CENTER_IDX] * xe[1 : 1 + mpx, 1 : 1 + mpy]
+            for oi, (dx, dy, dz) in enumerate(OFFSETS_T):
+                if oi == CENTER_IDX:
+                    continue
+                y = y + t[oi] * _shift_z(
+                    xe[1 + dx : 1 + dx + mpx, 1 + dy : 1 + dy + mpy], dz
+                )
+            return y
+
+        def restrict_z(x):
+            xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
+            return (
+                0.5 * xp[:, :, 0:-2:2]
+                + xp[:, :, 1:-1:2]
+                + 0.5 * xp[:, :, 2::2]
+            )
+
+        def prolong_z(x):
+            odd = 0.5 * (x[:, :, :-1] + x[:, :, 1:])
+            body = jnp.stack([x[:, :, :-1], odd], axis=3).reshape(
+                x.shape[:2] + (-1,)
+            )
+            return jnp.concatenate([body, x[:, :, -1:]], axis=2)
+
+        def restrict_shard2(r, l, mx, my, px_c, py_c):
+            """Level l -> l+1: strided full weighting along the TWO
+            sharded axes on the doubly-haloed pencil, local along z."""
+            mcx, mcy = mpxs[l + 1], mpys[l + 1]
+            xe = with_halo2(r, mx, my)
+            rc = (
+                0.5 * xe[0 : 2 * mcx : 2]
+                + xe[1 : 2 * mcx + 1 : 2]
+                + 0.5 * xe[2 : 2 * mcx + 2 : 2]
+            )
+            rc = (
+                0.5 * rc[:, 0 : 2 * mcy : 2]
+                + rc[:, 1 : 2 * mcy + 1 : 2]
+                + 0.5 * rc[:, 2 : 2 * mcy + 2 : 2]
+            )
+            rc = restrict_z(rc)
+            return px_c[:, None, None] * py_c[None, :, None] * rc
+
+        def prolong_shard2(ec, l, mcx_own, mcy_own, px_f, py_f):
+            """Level l+1 -> l: even-copy / odd-average interleave along
+            both sharded axes of the doubly-haloed coarse pencil."""
+            mcx, mcy = mpxs[l + 1], mpys[l + 1]
+            ece = with_halo2(ec, mcx_own, mcy_own)
+            even = ece[1 : 1 + mcx]
+            odd = 0.5 * (ece[1 : 1 + mcx] + ece[2 : 2 + mcx])
+            ef = jnp.stack([even, odd], axis=1).reshape(
+                (2 * mcx,) + even.shape[1:]
+            )
+            even_y = ef[:, 1 : 1 + mcy]
+            odd_y = 0.5 * (ef[:, 1 : 1 + mcy] + ef[:, 2 : 2 + mcy])
+            ef = jnp.stack([even_y, odd_y], axis=2).reshape(
+                (ef.shape[0], 2 * mcy) + even_y.shape[2:]
+            )
+            ef = prolong_z(ef)
+            return px_f[:, None, None] * py_f[None, :, None] * ef
+
+        nlev = Ls + 1
+        sp2 = P(ax_x, ax_y)
+        spx, spy = P(ax_x), P(ax_y)
+        in_specs = (
+            sp2,  # coef
+            tuple(sp2 for _ in range(nlev)),  # frees
+            tuple(spx for _ in range(nlev)),  # pmx
+            tuple(spy for _ in range(nlev)),  # pmy
+            tuple(spx for _ in range(nlev)),  # mx per level
+            tuple(spy for _ in range(nlev)),  # my per level
+            spx,  # tail x starts
+            spy,  # tail y starts
+            sp2,  # b
+            sp2,  # ubc
+        )
+
+        @partial(
+            shard_map,
+            mesh=self.device_mesh,
+            in_specs=in_specs,
+            out_specs=(sp2, P()),
+            check_vma=False,
+        )
+        def pcg(coef, frees, pmx, pmy, msx, msy, csx, csy, b, ubc):
+            coef = coef[0, 0]
+            frees = tuple(f[0, 0] for f in frees)
+            pmx = tuple(p[0] for p in pmx)
+            pmy = tuple(p[0] for p in pmy)
+            msx = tuple(m[0] for m in msx)
+            msy = tuple(m[0] for m in msy)
+            cs_x = csx[0]
+            cs_y = csy[0]
+            b = b[0, 0]
+            ubc = ubc[0, 0]
+            free = frees[0]
+            pms = [
+                pmx[l][:, None, None] * pmy[l][None, :, None]
+                for l in range(nlev)
+            ]
+            pm0 = pms[0]
+
+            def matvec_raw(x):
+                return apply_stencil2(
+                    with_halo2(x, msx[0], msy[0]), coef, mpxs[0], mpys[0]
+                )
+
+            def matvec(x):
+                return pm0 * (free * matvec_raw(free * x) + (1 - free) * x)
+
+            def a_free(l, x):
+                return frees[l] * apply_stencil2(
+                    with_halo2(frees[l] * x, msx[l], msy[l]),
+                    taps[l],
+                    mpxs[l],
+                    mpys[l],
+                )
+
+            def tail_solve(r_loc):
+                """Gather the coarse residual with ONE 2-axis psum, run
+                the replicated tail, slice the local pencil back out."""
+                z0 = jnp.zeros((), dtype=cs_x.dtype)
+                pad = jnp.zeros(
+                    (
+                        tail_shape[0] + mpxs[Ls],
+                        tail_shape[1] + mpys[Ls],
+                        tail_shape[2],
+                    ),
+                    dtype=r_loc.dtype,
+                )
+                pad = jax.lax.dynamic_update_slice(
+                    pad, pms[Ls] * r_loc, (cs_x, cs_y, z0)
+                )
+                g = jax.lax.psum(
+                    pad[: tail_shape[0], : tail_shape[1]], (ax_x, ax_y)
+                )
+                e = vcycle(G_tail, g.ravel()).reshape(tail_shape)
+                epad = jnp.pad(
+                    e, ((0, mpxs[Ls]), (0, mpys[Ls]), (0, 0))
+                )
+                eloc = jax.lax.dynamic_slice(
+                    epad,
+                    (cs_x, cs_y, z0),
+                    (mpxs[Ls], mpys[Ls], tail_shape[2]),
+                )
+                return pms[Ls] * eloc
+
+            def Mcycle(r0):
+                bs = [frees[0] * r0]
+                xs = []
+                for l in range(Ls):
+                    b_l = bs[l]
+                    x = om * inv_diag[l] * (frees[l] * b_l)
+                    for _ in range(nu - 1):
+                        x = x + om * inv_diag[l] * frees[l] * (
+                            b_l - a_free(l, x)
+                        )
+                    r = frees[l] * (b_l - a_free(l, x))
+                    xs.append(x)
+                    bs.append(
+                        restrict_shard2(
+                            r, l, msx[l], msy[l], pmx[l + 1], pmy[l + 1]
+                        )
+                    )
+                ec = tail_solve(bs[Ls])
+                for l in reversed(range(Ls)):
+                    e = prolong_shard2(
+                        ec, l, msx[l + 1], msy[l + 1], pmx[l], pmy[l]
+                    )
+                    x = xs[l] + frees[l] * e
+                    for _ in range(nu):
+                        x = x + om * inv_diag[l] * frees[l] * (
+                            bs[l] - a_free(l, x)
+                        )
+                    ec = x
+                return ec
+
+            def M(r):
+                return Mcycle(r) + (1 - free) * pm0 * r
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.sum(pm0 * a * c), (ax_x, ax_y))
+
+            rhs = pm0 * (free * (b - matvec_raw(ubc)) + (1 - free) * ubc)
+            x0 = jnp.zeros_like(b)
+            r0 = rhs - matvec(x0)
+            z0 = M(r0)
+            bnorm = jnp.sqrt(dot(rhs, rhs))
+            target = tol * jnp.maximum(bnorm, 1e-30)
+
+            def cond(st):
+                x, r, z, p, rz, i = st
+                return (jnp.sqrt(dot(r, r)) > target) & (i < maxiter)
+
+            def body(st):
+                x, r, z, p, rz, i = st
+                Ap = matvec(p)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = M(r)
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, i + 1)
+
+            x, r, *_, iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, dot(r0, z0), jnp.array(0))
+            )
+            return x[None, None], jnp.asarray(iters)
+
+        return pcg
+
+    def solve(self, b, free_mask, u_bc, tol=1e-10, maxiter=2000):
+        b = np.asarray(b)
+        dtype = jnp.asarray(b).dtype
+        free3 = np.asarray(free_mask).reshape(self.shape3)
+        frees_np, pxs_np, pys_np = self._level_masks(free3)
+        tail_free = free3[:: 1 << self.Ls, :: 1 << self.Ls, :: 1 << self.Ls]
+        key = (
+            hash((free3 > 0.5).tobytes()),
+            float(tol),
+            int(maxiter),
+            str(dtype),
+        )
+        if key not in self._compiled:
+            G_tail = build_gmg(
+                *self._tail_n,
+                extent=self._extent,
+                free3=tail_free > 0.5,
+                nu=self.nu,
+                omega=self.omega,
+                dtype=dtype,
+                identity_on_constrained=False,
+            )
+            self._compiled[key] = jax.jit(
+                self._build(tol, maxiter, dtype, G_tail)
+            )
+        fn = self._compiled[key]
+        msx = tuple(
+            jnp.asarray(np.diff(self.cuts_x[l]).astype(np.int32))
+            for l in range(self.Ls + 1)
+        )
+        msy = tuple(
+            jnp.asarray(np.diff(self.cuts_y[l]).astype(np.int32))
+            for l in range(self.Ls + 1)
+        )
+        csx = jnp.asarray(self.cuts_x[self.Ls][:-1].astype(np.int32))
+        csy = jnp.asarray(self.cuts_y[self.Ls][:-1].astype(np.int32))
+        x_pencils, iters = fn(
+            jnp.asarray(self._coef_np, dtype=dtype),
+            tuple(jnp.asarray(f, dtype=dtype) for f in frees_np),
+            tuple(jnp.asarray(p, dtype=dtype) for p in pxs_np),
+            tuple(jnp.asarray(p, dtype=dtype) for p in pys_np),
+            msx,
+            msy,
+            csx,
+            csy,
+            jnp.asarray(
+                self._to_pencils(b.reshape(self.shape3), 0, 0), dtype=dtype
+            ),
+            jnp.asarray(
+                self._to_pencils(
+                    np.asarray(u_bc).reshape(self.shape3), 0, 0
+                ),
+                dtype=dtype,
+            ),
+        )
+        x = self._from_pencils(np.asarray(x_pencils), level=0)
+        return x.ravel(), int(np.asarray(iters).ravel()[0])
+
+
 def vector_stencil_fields_from_csr(A, shape3, d=3):
     """Block stencil fields from a node-major vector CSR: returns
     ``coef`` (15, d, d, Nx, Ny, Nz) with

@@ -657,11 +657,22 @@ class SolverBase:
                         ls = getattr(self, "_lattice_halo_solver", None)
                         if ls is None:
                             if type(V) is FunctionSpace:
-                                from ..parallel.lattice import (
-                                    LatticeHaloSolver,
-                                )
+                                if sp.get("distributed") == "pencil":
+                                    # 2-D pencil decomposition: x AND y
+                                    # sharded (matches the TPU 2-D ICI
+                                    # torus; interface strips instead of
+                                    # full planes)
+                                    from ..parallel.lattice import (
+                                        LatticePencilSolver,
+                                    )
 
-                                ls = LatticeHaloSolver(A, info)
+                                    ls = LatticePencilSolver(A, info)
+                                else:
+                                    from ..parallel.lattice import (
+                                        LatticeHaloSolver,
+                                    )
+
+                                    ls = LatticeHaloSolver(A, info)
                             else:
                                 # vector elasticity: 3x3 block taps from
                                 # the material's Lame parameters.  The
