@@ -229,6 +229,25 @@ class AMGPreconditioner:
                 # fall back to plain (unsmoothed) aggregation for this level
                 P = P0
                 Ac = rap(A, P)
+            if spmv == "bell" and Ac.shape[0] > 4 * BR * BC:
+                # aggregation scrambles the coarse numbering, inflating
+                # the block-ELL tile fill K of the NEXT level's operator.
+                # A bandwidth-reducing relabel of the COARSE space is free
+                # at runtime (P's columns / Bc's rows relabel at setup,
+                # R = P^T follows), so pick-best RCM it before descending.
+                from .sparse_algebra import (
+                    bandwidth_ordering,
+                    sp_permute_sym,
+                    sp_relabel_cols,
+                )
+
+                perm_c, _ = bandwidth_ordering(
+                    Ac.indptr, Ac.indices, Ac.shape[0]
+                )
+                if perm_c is not None:
+                    Ac = sp_permute_sym(Ac, perm_c)
+                    P = sp_relabel_cols(P, perm_c)
+                    Bc = Bc[perm_c]
             A_dev = None
             if spmv == "bell" and bell_budget_mb > 0:
                 from .block_ell import BlockELL, build_block_ell

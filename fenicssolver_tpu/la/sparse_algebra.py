@@ -170,6 +170,32 @@ def sp_submatrix(A: HostCSR, mask):
     )
 
 
+def sp_permute_sym(A: HostCSR, perm):
+    """Symmetric permutation A[perm][:, perm] as canonical CSR (one
+    COO relabel + sort).  ``x_new = x_old[perm]`` is the matching vector
+    convention."""
+    perm = np.asarray(perm, dtype=np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return coo_to_csr(
+        inv[csr_rows(A)], inv[A.indices], A.data, A.shape,
+        sum_duplicates=False,
+    )
+
+
+def sp_relabel_cols(A: HostCSR, perm):
+    """Relabel columns for a permuted COLUMN space: if the column-space
+    vectors move as ``e_new = e_old[perm]``, the matrix acting on them
+    becomes ``A[:, perm]`` (canonical CSR out)."""
+    perm = np.asarray(perm, dtype=np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return coo_to_csr(
+        csr_rows(A), inv[A.indices], A.data, A.shape,
+        sum_duplicates=False,
+    )
+
+
 def l1_row_sums(A: HostCSR):
     s = np.bincount(
         csr_rows(A), weights=np.abs(A.data), minlength=A.shape[0]
@@ -188,13 +214,15 @@ def from_scipy(S):
 
 
 def rcm_ordering(indptr, indices, n):
-    """Reverse Cuthill-McKee permutation (pure numpy BFS, no scipy).
+    """Reverse Cuthill-McKee permutation (pure numpy, no scipy).
 
-    Returns ``perm`` with ``A[perm][:, perm]`` bandwidth-reduced: BFS from
-    a minimum-degree seed of each connected component, each node's
-    unvisited neighbours enqueued in ascending-degree order, final order
-    reversed.  Used to shrink the block-ELL column-block fill (the tile
-    count per 8-row block follows the local column spread — see
+    Level-synchronized BFS — one vectorized pass per BFS LEVEL (graph
+    diameter ~ n^(1/d) python iterations, not one per node): the whole
+    frontier's neighbour lists gather as one ragged take, unvisited
+    neighbours lexsort by (parent rank, degree) and dedup to their first
+    occurrence, which reproduces the classic per-node FIFO enqueue order.
+    Final order reversed.  Used to shrink the block-ELL column-block fill
+    (the tile count per 8-row block follows the local column spread — see
     ``la/block_ell.py``); pick-best against the natural order is in
     :func:`bandwidth_ordering` since grid-derived meshes are usually
     already optimally numbered."""
@@ -206,26 +234,40 @@ def rcm_ordering(indptr, indices, n):
     pos = 0
     # process components in ascending-degree seed order
     seeds = np.argsort(deg, kind="stable")
-    queue = np.empty(n, dtype=np.int64)
     for s in seeds:
         if visited[s]:
             continue
         visited[s] = True
-        queue[0] = s
-        head, tail = 0, 1
-        while head < tail:
-            v = queue[head]
-            head += 1
-            order[pos] = v
-            pos += 1
-            nb = indices[indptr[v] : indptr[v + 1]]
-            nb = nb[~visited[nb]]
-            if nb.size:
-                nb = np.unique(nb)  # dedup (pattern may repeat columns)
-                nb = nb[np.argsort(deg[nb], kind="stable")]
-                visited[nb] = True
-                queue[tail : tail + nb.size] = nb
-                tail += nb.size
+        frontier = np.array([s], dtype=np.int64)
+        order[pos] = s
+        pos += 1
+        while frontier.size:
+            counts = indptr[frontier + 1] - indptr[frontier]
+            ptr = np.zeros(len(frontier) + 1, dtype=np.int64)
+            np.cumsum(counts, out=ptr[1:])
+            take = (
+                np.repeat(indptr[frontier], counts)
+                + np.arange(int(ptr[-1]), dtype=np.int64)
+                - np.repeat(ptr[:-1], counts)
+            )
+            nb = indices[take]
+            prank = np.repeat(
+                np.arange(len(frontier), dtype=np.int64), counts
+            )
+            keep = ~visited[nb]
+            nb, prank = nb[keep], prank[keep]
+            if not nb.size:
+                break
+            o = np.lexsort((deg[nb], prank))
+            nb = nb[o]
+            # first occurrence in (parent rank, degree) order wins; keep
+            # the sorted sequence order of those first occurrences
+            _, first = np.unique(nb, return_index=True)
+            new = nb[np.sort(first)]
+            visited[new] = True
+            order[pos : pos + len(new)] = new
+            pos += len(new)
+            frontier = new
     return order[::-1].copy()
 
 
@@ -248,6 +290,10 @@ def bandwidth_ordering(indptr, indices, n, block=128, rows_per_block=8):
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     K_nat = tiles_count(indptr, indices)
+    if K_nat <= 8:
+        # already near the per-row-nnz lower bound (lattice-major
+        # numberings land at K ~ 5-9): RCM cannot pay for its own setup
+        return None, K_nat
     perm = rcm_ordering(indptr, indices, n)
     inv = np.empty(n, dtype=np.int64)
     inv[perm] = np.arange(n)

@@ -16,6 +16,7 @@ import logging
 import numbers
 import os.path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -601,6 +602,158 @@ class SolverBase:
         slaves, master = info
         return jnp.asarray(x).at[slaves].set(jnp.asarray(x)[master[slaves]])
 
+    def _bell_krylov_operator(self, A, sp):
+        """Block-ELL SpMV for the Krylov loop with a pick-best bandwidth
+        ordering (``la/sparse_algebra.bandwidth_ordering``).
+
+        On TPU the gather/segment CSR matvec runs at scalar-gather speed
+        (~105M entries/s, MEMORY perf rules) while block-ELL streams
+        (8, 128) tiles with full-lane row gathers — ~70x.  The fill cost
+        is K (distinct 128-col blocks per 8-row block): scrambled Delaunay
+        numberings inflate it, so the pick-best RCM relabel is applied
+        first and the whole Krylov iteration then runs in permuted space.
+
+        Returns (BlockELL, perm, inv) — perm/inv None when the natural
+        order already wins — or None when the tile memory would exceed
+        ``solver_parameters.spmv_budget_mb`` (default 1024), in which case
+        the caller keeps the gather matvec.  Pattern work (ordering, tile
+        maps) is cached; the cache holds the pattern OBJECT itself so a
+        collected pattern cannot alias a new one by id reuse (the round-2
+        ADVICE id(form) lesson).  Per solve only the tile fill (one device
+        scatter of the fresh data) reruns, so transient/Newton loops reuse
+        the setup."""
+        from ..la.block_ell import (
+            BC,
+            BR,
+            build_block_ell,
+            permuted_csr_pattern,
+        )
+        from ..la.sparse_algebra import bandwidth_ordering
+
+        pat = A.pattern
+        cache = getattr(self, "_bell_krylov_cache", None)
+        if cache is None or cache["pat"] is not pat:
+            ip = np.asarray(pat.indptr)
+            ix = np.asarray(pat.indices)
+            perm, _K = bandwidth_ordering(ip, ix, pat.n)
+            take = None
+            if perm is not None:
+                ip, ix, take = permuted_csr_pattern(ip, ix, perm)
+            K, nrb, col_blocks, pos = build_block_ell(ip, ix, pat.n)
+            if take is not None:
+                # fold the data permutation into the scatter map so the
+                # tile fill consumes NATURAL-order data directly
+                pos_nat = np.empty_like(pos)
+                pos_nat[take] = pos
+                pos = pos_nat
+            itemsize = jnp.asarray(A.data).dtype.itemsize
+            mb = K * nrb * BR * BC * itemsize / 1e6
+            budget = float(sp.get("spmv_budget_mb", 1024.0))
+            cache = dict(
+                pat=pat,
+                ok=mb <= budget,
+                perm=None if perm is None else jnp.asarray(perm),
+                inv=None if perm is None else jnp.asarray(np.argsort(perm)),
+                pos=jnp.asarray(
+                    pos.astype(np.int32) if pos.max() < 2**31 else pos
+                ),
+                col_blocks=jnp.asarray(col_blocks),
+                K=K,
+                nrb=nrb,
+                n=pat.n,
+            )
+            self._bell_krylov_cache = cache
+            if not cache["ok"]:
+                self.logger.info(
+                    "block-ELL SpMV skipped: %.0f MB tile fill exceeds "
+                    "spmv_budget_mb=%.0f; using the gather matvec",
+                    mb, budget,
+                )
+        if not cache["ok"]:
+            return None
+        return cache
+
+    @staticmethod
+    def _bell_fill(K, nrb, pos, data):
+        """Tiles from NATURAL-order matrix data (the ordering permutation
+        is folded into ``pos`` at setup).  Traceable: runs inside the
+        jitted Krylov program so the scatter is part of ONE compiled
+        dispatch, not a separate eager remote compile on the axon
+        tunnel."""
+        from ..la.block_ell import BC, BR
+
+        return (
+            jnp.zeros(K * nrb * BR * BC, dtype=data.dtype)
+            .at[pos]
+            .add(data)
+            .reshape(K, nrb, BR, BC)
+        )
+
+    def _bell_materialize(self, cache, data):
+        """Eager BlockELL for the gmg/amg-preconditioned (eager) solves."""
+        from ..la.block_ell import BlockELL
+
+        return BlockELL(
+            tiles=self._bell_fill(
+                cache["K"], cache["nrb"], cache["pos"], data
+            ),
+            col_blocks=cache["col_blocks"],
+            n=cache["n"],
+        )
+
+    def _bell_jit_krylov(self, bc, data, free, diag, rhs, x0, tol, maxiter,
+                         spd):
+        """ONE jitted dispatch for the whole Jacobi-preconditioned Krylov
+        solve: the tile FILL (scatter from the fresh matrix data) and the
+        CG/BiCGStab loop compile together, with every big array passed as
+        an ARGUMENT.
+
+        On the axon TPU tunnel, closure-captured tile arrays are re-staged
+        on every eager ``lax.while_loop`` dispatch (~3.3 s measured at
+        1 GB tiles), >100 MB jit closure constants can 413 the remote
+        compiler outright, and every separate eager op is its own remote
+        compile (MEMORY hazards) — one arg-passing program avoids all
+        three, and it is cached across transient/Newton steps."""
+        from ..la.block_ell import BlockELL
+
+        n = bc["n"]
+        key = (
+            bc["K"],
+            bc["nrb"],
+            str(jnp.asarray(data).dtype),
+            float(tol),
+            int(maxiter),
+            bool(spd),
+        )
+        progs = getattr(self, "_bell_pcg_cache", None)
+        if progs is None:
+            progs = self._bell_pcg_cache = {}
+        fn = progs.get(key)
+        if fn is None:
+            fill = self._bell_fill
+            K_, nrb_ = bc["K"], bc["nrb"]
+
+            def prog(dat, pos, cb, f, dg, b, x0v):
+                Ab = BlockELL(
+                    tiles=fill(K_, nrb_, pos, dat), col_blocks=cb, n=n
+                )
+
+                def op(x):
+                    return f * Ab.matvec(f * x) + (1.0 - f) * x
+
+                M = krylov.jacobi_preconditioner(dg)
+                if spd:
+                    return krylov.cg(
+                        op, b, x0=x0v, M=M, tol=tol, maxiter=maxiter
+                    )
+                return krylov.bicgstab(
+                    op, b, x0=x0v, M=M, tol=tol, maxiter=maxiter
+                )
+
+            fn = progs[key] = jax.jit(prog)
+        x0v = jnp.zeros_like(rhs) if x0 is None else x0
+        return fn(data, bc["pos"], bc["col_blocks"], free, diag, rhs, x0v)
+
     def solve_static(self, A, b, dirichlet, x0=None, spd=True):
         """Solve A u = b with Dirichlet data applied symmetrically.
 
@@ -768,10 +921,50 @@ class SolverBase:
         if n <= DENSE_LIMIT:
             Ac = assembly.constrain_csr(A, free)
             return self._copy_periodic(dense_solve(Ac, rhs))
-        op = assembly.constrained_operator(A.matvec, free)
-        diag = free * A.diagonal() + (1.0 - free)
-        M = krylov.jacobi_preconditioner(diag)
-        if sp.get("preconditioner") == "gmg":
+        # Krylov-loop SpMV: block-ELL (128-lane row gathers + dense einsum,
+        # ~70x the gather/segment CSR matvec on TPU — MEMORY perf rules)
+        # with a pick-best bandwidth ordering; the whole Krylov iteration
+        # runs in permuted space (one rhs/x0 permute in, one x permute
+        # out).  Falls back to the gather matvec when the tile fill would
+        # exceed the memory budget (3D fill is the format's cost).
+        bell = None
+        if sp.get("spmv", "bell") == "bell":
+            bell = self._bell_krylov_operator(A, sp)
+        pj = ipj = None
+        free_nat = free
+        op = None  # built lazily: the jitted bell path never needs it
+        if bell is not None:
+            pj, ipj = bell["perm"], bell["inv"]
+            if pj is not None:
+                rhs = rhs[pj]
+                free = free[pj]
+                if x0 is not None:
+                    x0 = x0[pj]
+            diag = free * (
+                A.diagonal()[pj] if pj is not None else A.diagonal()
+            ) + (1.0 - free)
+
+            def make_op(_bc=bell, _f=free):
+                A_bell = self._bell_materialize(_bc, A.data)
+
+                def op_(x):
+                    return _f * A_bell.matvec(_f * x) + (1.0 - _f) * x
+
+                return op_
+
+        else:
+            op = assembly.constrained_operator(A.matvec, free)
+            diag = free * A.diagonal() + (1.0 - free)
+        M = M_jacobi = krylov.jacobi_preconditioner(diag)
+        if sp.get("preconditioner") == "gmg" and pj is not None:
+            # cannot happen on lattice meshes (pick-best keeps the natural
+            # order there), but guard: the GMG hierarchy lives in natural
+            # dof order
+            self.logger.warning(
+                "preconditioner=gmg incompatible with a permuted SpMV "
+                "ordering; falling back to Jacobi"
+            )
+        elif sp.get("preconditioner") == "gmg":
             # geometric multigrid on BoxMesh lattices (the bench fast path,
             # la/gmg.py) straight from a JSON case: scalar P1 only; the
             # lattice metadata is stamped by BoxMesh/UnitCubeMesh
@@ -826,8 +1019,16 @@ class SolverBase:
                     self.function_space.vdim,
                 )
             try:
+                As = assembly.constrain_csr(A, free_nat).to_scipy()
+                if pj is not None:
+                    # the Krylov loop runs in permuted space: hand AMG the
+                    # permuted system (nullspace rows follow)
+                    pn = np.asarray(pj)
+                    As = As[pn][:, pn]
+                    if nullspace is not None:
+                        nullspace = np.asarray(nullspace)[pn]
                 M = AMGPreconditioner(
-                    assembly.constrain_csr(A, free).to_scipy(),
+                    As,
                     nullspace=nullspace,
                     free_mask=np.asarray(free) > 0.5,
                 )
@@ -840,12 +1041,30 @@ class SolverBase:
         # reference feeds it to the dolfin solver parameters,
         # SolverBase.py:638-641); no silent scaling
         maxiter = sp.get("maximum_iterations", 2000)
-        if spd:
-            x, it, res = krylov.cg(op, rhs, x0=x0, M=M, tol=tol, maxiter=maxiter)
+        if bell is not None and M is M_jacobi:
+            # whole Krylov solve (tile fill + loop) as ONE cached jitted
+            # dispatch with data/index maps as arguments (axon: eager
+            # while_loop re-stages big closure constants every call and
+            # every eager op is its own remote compile — _bell_jit_krylov)
+            x, it, res = self._bell_jit_krylov(
+                bell, A.data, free, diag, rhs, x0, tol, maxiter, spd
+            )
         else:
-            x, it, res = krylov.bicgstab(op, rhs, x0=x0, M=M, tol=tol, maxiter=maxiter)
+            if op is None:
+                op = make_op()
+            if spd:
+                x, it, res = krylov.cg(
+                    op, rhs, x0=x0, M=M, tol=tol, maxiter=maxiter
+                )
+            else:
+                x, it, res = krylov.bicgstab(
+                    op, rhs, x0=x0, M=M, tol=tol, maxiter=maxiter
+                )
+        if not spd:
             bad = (jnp.asarray(res) > tol * 10) | ~jnp.isfinite(jnp.asarray(res))
             if bool(bad):
+                if op is None:
+                    op = make_op()
                 x, it, res = krylov.gmres(
                     op, rhs, x0=x0, M=M, tol=tol, restart=80, maxiter=maxiter // 10
                 )
@@ -853,6 +1072,8 @@ class SolverBase:
             self.logger.info(
                 "Krylov solve: %s iters, rel residual %.3e", int(it), float(res)
             )
+        if ipj is not None:
+            x = x[ipj]  # back to natural dof order
         return self._copy_periodic(x)
 
     def solve_linear_problem(self, form, u, dirichlet, spd=True):
@@ -941,18 +1162,49 @@ class SolverBase:
             if n <= DENSE_LIMIT:
                 Jc = assembly.constrain_csr(J, fm)
                 return dense_solve(Jc, rhs)
-            op = assembly.constrained_operator(J.matvec, fm)
-            diag = fm * J.diagonal() + (1.0 - fm)
-            M = krylov.jacobi_preconditioner(diag)
+            # block-ELL SpMV in (possibly) permuted space — the Jacobian
+            # pattern is step-invariant so the ordering/tile maps cache
+            # across Newton iterations (see _bell_krylov_operator)
+            bell = (
+                self._bell_krylov_operator(J, sp)
+                if sp.get("spmv", "bell") == "bell"
+                else None
+            )
+            pj = ipj = None
+            if bell is not None:
+                pj, ipj = bell["perm"], bell["inv"]
+                fmp = fm[pj] if pj is not None else fm
+                dj = J.diagonal()[pj] if pj is not None else J.diagonal()
+                diag = fmp * dj + (1.0 - fmp)
+                r = (fm * rhs)[pj] if pj is not None else fm * rhs
+            else:
+                fmp = fm
+                diag = fm * J.diagonal() + (1.0 - fm)
+                r = fm * rhs
             # mask constrained rows so the Newton update is exactly zero on
             # Dirichlet dofs regardless of the start point
-            if spd:
-                x, it, res = krylov.cg(op, fm * rhs, M=M,
-                                       tol=1e-10, maxiter=5000)
+            if spd and bell is not None:
+                x, it, res = self._bell_jit_krylov(
+                    bell, J.data, fmp, diag, r, None, 1e-10, 5000, True
+                )
             else:
-                x, it, res = krylov.gmres(op, fm * rhs, M=M, tol=1e-10,
-                                          restart=80, maxiter=200)
-            return x
+                if bell is not None:
+                    Jb = self._bell_materialize(bell, J.data)
+
+                    def op(x, _A=Jb, _f=fmp):
+                        return _f * _A.matvec(_f * x) + (1.0 - _f) * x
+
+                else:
+                    op = assembly.constrained_operator(J.matvec, fm)
+                M = krylov.jacobi_preconditioner(diag)
+                if spd:
+                    x, it, res = krylov.cg(
+                        op, r, M=M, tol=1e-10, maxiter=5000
+                    )
+                else:
+                    x, it, res = krylov.gmres(op, r, M=M, tol=1e-10,
+                                              restart=80, maxiter=200)
+            return x[ipj] if ipj is not None else x
 
         u0 = jnp.asarray(u_current.values)
         # start from a state satisfying the Dirichlet constraints
@@ -981,26 +1233,54 @@ class SolverBase:
         free = dirichlet.free_mask if dirichlet and dirichlet.any else jnp.ones_like(b)
         ubc = dirichlet.u_bc if dirichlet and dirichlet.any else jnp.zeros_like(b)
         rhs = assembly.constrained_rhs(A.matvec, b, free, ubc)
-        op = assembly.constrained_operator(A.matvec, free)
+        sp = self._solver_params()
+        # block-ELL SpMV for the CG loop (permuted space when pick-best
+        # ordering engages; AMG then receives the permuted system)
+        bell = (
+            self._bell_krylov_operator(A, sp)
+            if sp.get("spmv", "bell") == "bell"
+            else None
+        )
+        pj = ipj = None
+        free_nat = free
+        if bell is not None:
+            pj, ipj = bell["perm"], bell["inv"]
+            if pj is not None:
+                rhs, free = rhs[pj], free[pj]
+            A_bell = self._bell_materialize(bell, A.data)
+
+            def op(x, _A=A_bell, _f=free):
+                return _f * _A.matvec(_f * x) + (1.0 - _f) * x
+
+        else:
+            op = assembly.constrained_operator(A.matvec, free)
         nullspace = None
         if isinstance(self.function_space, VectorFunctionSpace):
             nullspace = rigid_body_modes(
                 self.function_space.scalar_space.dof_coords,
                 self.function_space.vdim,
             )
-        Ac = assembly.constrain_csr(A, free)
+        Ac = assembly.constrain_csr(A, free_nat)
         try:
+            As = Ac.to_scipy()
+            if pj is not None:
+                pn = np.asarray(pj)
+                As = As[pn][:, pn]
+                if nullspace is not None:
+                    nullspace = np.asarray(nullspace)[pn]
             M = AMGPreconditioner(
-                Ac.to_scipy(), nullspace=nullspace, free_mask=np.asarray(free)
+                As, nullspace=nullspace, free_mask=np.asarray(free)
             )
         except Exception as e:  # robust fallback: Chebyshev-Jacobi
             self.logger.warning("AMG setup failed (%s); Chebyshev fallback", e)
-            diag = free * A.diagonal() + (1.0 - free)
+            dg = A.diagonal()[pj] if pj is not None else A.diagonal()
+            diag = free * dg + (1.0 - free)
             M = krylov.chebyshev_preconditioner(op, diag, degree=5)
-        sp = self._solver_params()
         x, it, res = krylov.cg(
             op, rhs, M=M, tol=sp.get("relative_tolerance", 1e-8), maxiter=10000
         )
+        if ipj is not None:
+            x = x[ipj]
         if sp.get("monitor_convergence"):
             self.logger.info("AMG-CG: %d iters, rel res %.3e", int(it), float(res))
         u.values = np.array(x)

@@ -83,7 +83,8 @@ def test_block_ell_permuted_matvec_matches():
     rng = np.random.default_rng(0)
     mesh = rectangle_with_hole((0, 0), (1.0, 0.5), (0.3, 0.25), 0.1,
                                resolution=24)
-    V, ip, ix = _pattern(mesh, deg=1)
+    # deg=2: P1 2D patterns sit at K_nat <= 8 where pick-best early-exits
+    V, ip, ix = _pattern(mesh, deg=2)
     n = V.ndof
     import scipy.sparse as sp
 
@@ -116,7 +117,8 @@ def test_fast_path_heat_on_delaunay_mesh():
 
     mesh = rectangle_with_hole((0, 0), (1.0, 0.5), (0.3, 0.25), 0.1,
                                resolution=24)
-    Q = FunctionSpace(mesh, "CG", 1)
+    # deg=2: P1 2D patterns sit at K_nat <= 8 where pick-best early-exits
+    Q = FunctionSpace(mesh, "CG", 2)
     left = AutoSubDomain(lambda x: near(x[0], 0.0))
     right = AutoSubDomain(lambda x: near(x[0], 1.0))
     bcs = {
@@ -170,3 +172,122 @@ def test_fast_path_heat_on_delaunay_mesh():
         ref.values
     )
     assert err < 1e-8, err
+
+
+def test_solve_static_bell_spmv_matches_csr(monkeypatch):
+    """solve_static's Krylov loop runs on the block-ELL operator in
+    permuted space (pick-best ordering) by default; solution must match
+    the gather-CSR path (spmv="csr") to solver tolerance, and the
+    ordering must actually engage on a Delaunay mesh."""
+    import copy
+
+    import fenicssolver_tpu.solvers.solver_base as sb
+    from fenicssolver_tpu.core import AutoSubDomain, Constant, near
+    from fenicssolver_tpu.solvers.scalar_transport import (
+        ScalarTransportSolver,
+    )
+
+    monkeypatch.setattr(sb, "DENSE_LIMIT", 200)  # force the Krylov path
+    mesh = rectangle_with_hole((0, 0), (1.0, 0.5), (0.3, 0.25), 0.1,
+                               resolution=28)
+    Q = FunctionSpace(mesh, "CG", 2)
+    left = AutoSubDomain(lambda x: near(x[0], 0.0))
+    right = AutoSubDomain(lambda x: near(x[0], 1.0))
+    bcs = {
+        "hot": {"boundary": left, "boundary_id": 1, "values": {
+            "temperature": {"variable": "temperature", "type": "Dirichlet",
+                            "value": Constant(350.0)}}},
+        "cold": {"boundary": right, "boundary_id": 2, "values": {
+            "temperature": {"variable": "temperature", "type": "Dirichlet",
+                            "value": Constant(300.0)}}},
+    }
+
+    def settings(spmv):
+        return {
+            "solver_name": "ScalarTransportSolver",
+            "scalar_name": "temperature",
+            "mesh": None,
+            "function_space": Q,
+            "boundary_conditions": copy.deepcopy(bcs),
+            "initial_values": {"temperature": 300.0},
+            "material": {"density": 1.0, "specific_heat_capacity": 1.0,
+                         "thermal_conductivity": 1.0},
+            "solver_settings": {
+                "transient_settings": {"transient": False},
+                "reference_values": {"temperature": 300.0},
+                "solver_parameters": {"relative_tolerance": 1e-12,
+                                      "maximum_iterations": 4000,
+                                      "spmv": spmv,
+                                      "monitor_convergence": False},
+            },
+            "report_settings": {"plotting_freq": 0, "saving_freq": 0,
+                                "logging_level": 40},
+        }
+
+    s_bell = ScalarTransportSolver(settings("bell"))
+    T_bell = s_bell.solve()
+    cache = getattr(s_bell, "_bell_krylov_cache", None)
+    assert cache is not None and cache["ok"], "bell SpMV did not engage"
+    assert cache["perm"] is not None, "pick-best ordering did not engage"
+
+    s_csr = ScalarTransportSolver(settings("csr"))
+    T_csr = s_csr.solve()
+    assert getattr(s_csr, "_bell_krylov_cache", None) is None
+    err = np.linalg.norm(T_bell.values - T_csr.values) / np.linalg.norm(
+        T_csr.values
+    )
+    assert err < 1e-9, err
+
+
+def test_bell_spmv_budget_fallback(monkeypatch):
+    """An over-budget tile fill must fall back to the gather matvec (and
+    still solve correctly)."""
+    import copy
+
+    import fenicssolver_tpu.solvers.solver_base as sb
+    from fenicssolver_tpu.core import AutoSubDomain, Constant, near
+    from fenicssolver_tpu.solvers.scalar_transport import (
+        ScalarTransportSolver,
+    )
+
+    monkeypatch.setattr(sb, "DENSE_LIMIT", 200)
+    mesh = rectangle_with_hole((0, 0), (1.0, 0.5), (0.3, 0.25), 0.1,
+                               resolution=20)
+    Q = FunctionSpace(mesh, "CG", 1)
+    left = AutoSubDomain(lambda x: near(x[0], 0.0))
+    right = AutoSubDomain(lambda x: near(x[0], 1.0))
+    bcs = {
+        "hot": {"boundary": left, "boundary_id": 1, "values": {
+            "temperature": {"variable": "temperature", "type": "Dirichlet",
+                            "value": Constant(350.0)}}},
+        "cold": {"boundary": right, "boundary_id": 2, "values": {
+            "temperature": {"variable": "temperature", "type": "Dirichlet",
+                            "value": Constant(300.0)}}},
+    }
+    settings = {
+        "solver_name": "ScalarTransportSolver",
+        "scalar_name": "temperature",
+        "mesh": None,
+        "function_space": Q,
+        "boundary_conditions": copy.deepcopy(bcs),
+        "initial_values": {"temperature": 300.0},
+        "material": {"density": 1.0, "specific_heat_capacity": 1.0,
+                     "thermal_conductivity": 1.0},
+        "solver_settings": {
+            "transient_settings": {"transient": False},
+            "reference_values": {"temperature": 300.0},
+            "solver_parameters": {"relative_tolerance": 1e-12,
+                                  "maximum_iterations": 4000,
+                                  "spmv_budget_mb": 1e-6,
+                                  "monitor_convergence": False},
+        },
+        "report_settings": {"plotting_freq": 0, "saving_freq": 0,
+                            "logging_level": 40},
+    }
+    s = ScalarTransportSolver(settings)
+    T = s.solve()
+    cache = getattr(s, "_bell_krylov_cache", None)
+    assert cache is not None and not cache["ok"]
+    assert 300.0 - 1e-6 <= float(np.min(T.values)) and float(
+        np.max(T.values)
+    ) <= 350.0 + 1e-6

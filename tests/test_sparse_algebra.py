@@ -125,3 +125,87 @@ def test_amg_builds_without_scipy(monkeypatch):
     r = np.random.default_rng(1).random(V.ndof)
     z = np.asarray(M(jnp.asarray(r)))
     assert np.isfinite(z).all()
+
+
+def test_permute_sym_and_relabel_cols_vs_scipy():
+    rng = np.random.default_rng(3)
+    A = sp.random(60, 60, density=0.1, random_state=4, format="csr")
+    A = A + A.T
+    perm = rng.permutation(60)
+    from fenicssolver_tpu.la.sparse_algebra import (
+        sp_permute_sym,
+        sp_relabel_cols,
+    )
+
+    _eq(sp_permute_sym(from_scipy(A.tocsr()), perm), A[perm][:, perm])
+    P = sp.random(60, 20, density=0.15, random_state=5, format="csr")
+    pc = rng.permutation(20)
+    _eq(sp_relabel_cols(from_scipy(P), pc), P[:, pc])
+
+
+def test_amg_coarse_reordering_reduces_bell_and_stays_exact(monkeypatch):
+    """Coarse-level pick-best relabel (bell tile-fill reduction): with the
+    reordering DISABLED the hierarchy must cost at least as much bell tile
+    memory, and with it ENABLED the preconditioned CG still reaches the
+    exact solution on a Delaunay mesh (where aggregation scrambling is
+    real)."""
+    import jax.numpy as jnp
+    import scipy.sparse.linalg as spl
+
+    from fenicssolver_tpu.core.meshgen import rectangle_with_hole
+    from fenicssolver_tpu.core.spaces import FunctionSpace
+    from fenicssolver_tpu.la import sparse_algebra as sa
+    from fenicssolver_tpu.la.amg import AMGPreconditioner
+    from fenicssolver_tpu.la.block_ell import BlockELL
+    from fenicssolver_tpu.la.krylov import cg
+    from fenicssolver_tpu.ops import assembly, geometry
+
+    mesh = rectangle_with_hole((0, 0), (2.0, 1.0), (0.7, 0.5), 0.2,
+                               resolution=48)
+    V = FunctionSpace(mesh, "CG", 1)
+    tab = geometry.basis_tables(mesh.tdim, 1, 2)
+    dphi, qw, phi = (jnp.asarray(tab.dphi), jnp.asarray(tab.qw),
+                     jnp.asarray(tab.phi))
+
+    def kern(ue, geom, aux):
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        g = geometry.interp_grad(dphig, ue)
+        return (jnp.einsum("q,qg,qig->i", qw, g, dphig)
+                - jnp.einsum("q,qi->i", qw, phi)) * geom.detJ
+
+    ctx = geometry.build_cell_context(V, 2)
+    form = assembly.Form(space=V)
+    form.cell_terms.append(assembly.CellTerm(kernel=kern, ctx=ctx))
+    form.finalize()
+    A, b = assembly.assemble_linear_system(form)
+    free = np.ones(V.ndof)
+    free[np.asarray(V.facet_dofs(mesh.exterior_facets()))] = 0.0
+    As = A.to_scipy().tocsr()
+    Af = (sp.diags(free) @ As @ sp.diags(free) + sp.diags(1 - free)).tocsr()
+
+    def bell_tiles(M):
+        return sum(
+            int(l["A"].tiles.size)
+            for l in M.levels
+            if isinstance(l["A"], BlockELL)
+        )
+
+    M_on = AMGPreconditioner(Af, free_mask=free > 0.5)
+    orig = sa.bandwidth_ordering
+    monkeypatch.setattr(
+        sa, "bandwidth_ordering", lambda ip, ix, n, **k: (None, 0)
+    )
+    M_off = AMGPreconditioner(Af, free_mask=free > 0.5)
+    monkeypatch.setattr(sa, "bandwidth_ordering", orig)
+    assert bell_tiles(M_on) <= bell_tiles(M_off), (
+        bell_tiles(M_on), bell_tiles(M_off),
+    )
+
+    rhs = jnp.asarray(free * np.asarray(b))
+    from fenicssolver_tpu.la.sparse import csr_from_scipy
+
+    Afd = csr_from_scipy(Af)
+    x, it, res = cg(Afd.matvec, rhs, M=M_on, tol=1e-10, maxiter=300)
+    x_ref = spl.spsolve(Af.tocsc(), np.asarray(rhs))
+    err = np.linalg.norm(np.asarray(x) - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-7, (err, int(it))
