@@ -22,6 +22,7 @@ EXAMPLES = [
     "test_plasticity.py",
     "test_maxwell_em.py",
     "test_compressible_flow.py",
+    "test_adjoint_inverse.py",
 ]
 
 here = os.path.dirname(os.path.abspath(__file__))
