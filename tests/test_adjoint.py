@@ -160,3 +160,76 @@ def test_linear_adjoint_jits_end_to_end():
     v_j, g_j = jax.jit(jax.value_and_grad(J))(kappa)
     assert abs(float(v_e) - float(v_j)) < 1e-12 * max(abs(float(v_e)), 1.0)
     assert float(jnp.max(jnp.abs(g_e - g_j))) < 1e-10
+
+
+def test_transient_adjoint_through_scan():
+    """Reverse-mode through a WHOLE transient: backward-Euler heat
+    conduction stepped by lax.scan over the differentiable implicit
+    solve; gradients of the final-time energy w.r.t. the conductivity
+    field AND the initial condition match central finite differences.
+    The per-step history (previous solution gathered per element) flows
+    through the same aux_update channel as the material parameters, so
+    the chain rule composes across steps with no extra machinery."""
+    mesh = UnitSquareMesh(6, 6)
+    V = FunctionSpace(mesh, "CG", 1)
+    tab = geometry.basis_tables(mesh.tdim, 1, 2)
+    dphi, qw, phi = (jnp.asarray(tab.dphi), jnp.asarray(tab.qw),
+                     jnp.asarray(tab.phi))
+    dt = 0.05
+
+    def kern(ue, geom, aux):
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        g = geometry.interp_grad(dphig, ue)
+        uq = phi @ ue
+        upq = phi @ aux["uprev_e"]
+        mass = jnp.einsum("q,q,qi->i", qw, (uq - upq) / dt, phi)
+        diff = aux["kappa"] * jnp.einsum("q,qg,qig->i", qw, g, dphig)
+        return (mass + diff) * geom.detJ
+
+    ctx = geometry.build_cell_context(V, 2)
+    nc = mesh.num_cells()
+    k = V.ndof_el
+    form = assembly.Form(space=V)
+    form.cell_terms.append(assembly.CellTerm(
+        kernel=kern, ctx=ctx,
+        aux={"kappa": jnp.ones(nc), "uprev_e": jnp.zeros((nc, k))},
+    ))
+    form.finalize()
+    bdofs = np.asarray(V.facet_dofs(mesh.exterior_facets()))
+    d = assembly.DirichletData(V.ndof)
+    d.add(bdofs, np.zeros(len(bdofs)))
+    d.finalize()
+    solver = make_implicit_solver(form, d, linear=True, spd=True)
+    cd = jnp.asarray(ctx.cell_dofs)
+    X = V.dof_coords
+    u0 = jnp.asarray(
+        np.sin(np.pi * X[:, 0]) * np.sin(np.pi * X[:, 1])
+    ) * jnp.asarray(d.free_mask)
+    nsteps = 5
+
+    def run(kappa, u_init):
+        def step(u_old, _):
+            u_new = solver({"kappa": kappa, "uprev_e": u_old[cd]})
+            return u_new, ()
+
+        u_T, _ = jax.lax.scan(step, u_init, None, length=nsteps)
+        return jnp.sum(u_T ** 2)
+
+    g_k, g_u0 = jax.grad(run, argnums=(0, 1))(jnp.ones(nc), u0)
+    eps = 1e-6
+    for c in [2, nc // 2]:
+        e = np.zeros(nc)
+        e[c] = 1.0
+        fd = (float(run(jnp.ones(nc) + eps * e, u0))
+              - float(run(jnp.ones(nc) - eps * e, u0))) / (2 * eps)
+        assert abs(float(g_k[c]) - fd) <= 1e-6 * max(abs(fd), 1e-3), (
+            c, float(g_k[c]), fd,
+        )
+    free_dof = int(np.flatnonzero(np.asarray(d.free_mask) > 0.5)[7])
+    e = np.zeros(V.ndof)
+    e[free_dof] = 1.0
+    fd = (float(run(jnp.ones(nc), u0 + eps * e))
+          - float(run(jnp.ones(nc), u0 - eps * e))) / (2 * eps)
+    assert abs(float(g_u0[free_dof]) - fd) <= 1e-6 * max(abs(fd), 1e-3), (
+        float(g_u0[free_dof]), fd,
+    )
