@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..la import krylov
 from . import assembly
@@ -76,6 +77,7 @@ def make_implicit_solver(
     maxiter=5000,
     newton_rtol=1e-11,
     newton_maxiter=30,
+    method="krylov",
     logger=None,
 ):
     """Build ``solve(theta, u_bc=None) -> u`` differentiable in both args.
@@ -88,11 +90,32 @@ def make_implicit_solver(
     linear : the form is affine in u (one Krylov solve, fully traceable).
     spd : the free-dof Jacobian block is symmetric positive definite
         (CG; otherwise BiCGStab with a GMRES fallback).
+    method : "krylov" (matrix-free, default) or "dense" — densify the
+        assembled Jacobian and use ``jnp.linalg.solve`` (both passes,
+        transpose solve in the backward).  The dense path is for SMALL
+        INDEFINITE systems the Jacobi-Krylov combination cannot handle —
+        saddle points like the mixed Navier-Stokes form (zero pressure
+        diagonal) — and is still traceable (the densify is a static
+        scatter of CSR data).
     theta : dict of aux-override arrays (keys must exist in the term aux
         they target); u_bc : full-length vector of Dirichlet values
         (defaults to ``dirichlet.u_bc``, non-differentiable then).
     """
     ndof = form.space.ndof
+
+    def _dense_constrained(theta, u, free):
+        """A = D_f J + D_c as a dense array (traceable scatter)."""
+        J = assembly.assemble_jacobian(form, u, aux_update=theta)
+        pat = J.pattern
+        rows = np.repeat(
+            np.arange(ndof), np.diff(np.asarray(pat.indptr))
+        )
+        Ad = (
+            jnp.zeros((ndof, ndof), dtype=J.data.dtype)
+            .at[rows, np.asarray(pat.indices)]
+            .add(J.data)
+        )
+        return free[:, None] * Ad + jnp.diag(1.0 - free)
 
     def _solve_free(op, rhs, diag, x0=None):
         """Krylov solve of the symmetrically-masked free-dof system."""
@@ -127,31 +150,32 @@ def make_implicit_solver(
         def res_at(u):
             return assembly.assemble_residual(form, u, aux_update=theta)
 
-        if linear:
-            # affine form: J x = jvp of the residual (matrix-free, exact)
+        def lin_solve(u_at, rhs):
+            if method == "dense":
+                A = _dense_constrained(theta, u_at, free)
+                return jnp.linalg.solve(A, rhs)
+
             def op(x):
-                _, jx = jax.jvp(res_at, (u0,), (free * x,))
+                _, jx = jax.jvp(res_at, (u_at,), (free * x,))
                 return free * jx + (1.0 - free) * x
 
-            dg = _diag(theta, u0)
-            diag = free * dg + (1.0 - free)
-            rhs = -free * res_at(u0)
-            du, _, _ = _solve_free(op, rhs, diag)
+            diag = free * _diag(theta, u_at) + (1.0 - free)
+            x, _, _ = _solve_free(op, rhs, diag)
+            return x
+
+        if linear:
+            # affine form: J x = jvp of the residual (matrix-free, exact)
+            du = lin_solve(u0, -free * res_at(u0))
             return u0 + free * du
 
-        # Newton: host loop (eager), each step one masked Krylov solve
+        # Newton: host loop (eager), each step one masked linear solve
         u = u0
         r = free * res_at(u)
         norm0 = float(jnp.linalg.norm(r))
         if norm0 == 0.0:
             return u
         for it in range(newton_maxiter):
-            def op(x, _u=u):
-                _, jx = jax.jvp(res_at, (_u,), (free * x,))
-                return free * jx + (1.0 - free) * x
-
-            diag = free * _diag(theta, u) + (1.0 - free)
-            du, _, lres = _solve_free(op, -r, diag)
+            du = lin_solve(u, -r)
             u = u + free * du
             r = free * res_at(u)
             norm = float(jnp.linalg.norm(r))
@@ -185,17 +209,23 @@ def make_implicit_solver(
 
         _, vjp_u = jax.vjp(res_u, u)
 
-        # adjoint solve on the free block: J_ff^T lambda_f = ubar_f.
-        # J^T products are matrix-free (vjp of the assembly).
-        def opT(y):
-            return free * vjp_u(free * y)[0] + (1.0 - free) * y
+        if method == "dense":
+            # A^T lambda = ubar directly (A = D_f J + D_c, dense)
+            A = _dense_constrained(theta, u, free)
+            lam = jnp.linalg.solve(A.T, ubar)
+            lam_f = free * lam
+        else:
+            # adjoint solve on the free block: J_ff^T lambda_f = ubar_f.
+            # J^T products are matrix-free (vjp of the assembly).
+            def opT(y):
+                return free * vjp_u(free * y)[0] + (1.0 - free) * y
 
-        diag = free * _diag(theta, u) + (1.0 - free)
-        lam_f, _, _ = _solve_free(opT, free * ubar, diag)
-        lam_f = free * lam_f
-        # constrained rows of A^T are triangular: lambda_c explicit
-        jt_lam = vjp_u(lam_f)[0]
-        lam = lam_f + (1.0 - free) * (ubar - jt_lam)
+            diag = free * _diag(theta, u) + (1.0 - free)
+            lam_f, _, _ = _solve_free(opT, free * ubar, diag)
+            lam_f = free * lam_f
+            # constrained rows of A^T are triangular: lambda_c explicit
+            jt_lam = vjp_u(lam_f)[0]
+            lam = lam_f + (1.0 - free) * (ubar - jt_lam)
 
         # theta_bar = -(dR/dtheta)^T (free * lambda)
         def res_theta(th):
