@@ -1145,6 +1145,27 @@ def _run_child(arg, n, timeout_s):
     return None
 
 
+def _tunnel_probe(timeout_s=120):
+    """Trivial jit in a guarded subprocess: distinguishes a WEDGED axon
+    tunnel (even backend init / 8-element jit hangs — observed lasting
+    1h+) from a merely-slow one.  On a wedged tunnel the fallback ladder
+    is pointless: every rung burns its full timeout."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda v: (v*2).sum())(jnp.arange(8.))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_tpu_with_fallback(sizes, tol, timeout_s=540):
     for i, n in enumerate(sizes):
         # generous budget for the target size (a cold axon remote compile
@@ -1196,7 +1217,19 @@ def main():
     n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
     sizes = sorted({n_tpu, 96, 64, 48}, reverse=True)
     sizes = [s for s in sizes if s <= n_tpu]
+    tunnel_ok = _tunnel_probe()
+    if not tunnel_ok:
+        # wedged tunnel: one primary attempt only (the 540 s budget
+        # doubles as recovery-wait time), no smaller rungs — each would
+        # burn its whole timeout against the same wedge
+        sys.stderr.write(
+            "tunnel probe failed (trivial jit hung): wedged axon tunnel; "
+            "single primary attempt, then CPU fallback\n"
+        )
+        sizes = sizes[:1]
     d, n_used = _run_tpu_with_fallback(sizes, tol)
+    if d is not None:
+        tunnel_ok = True  # recovered mid-run: resume the full plan
     if d is None:
         # last resort: measure the same jitted program on the CPU backend so
         # the driver still records a data point
@@ -1217,7 +1250,11 @@ def main():
     # with its OWN time budget — independent of primary-attempt overruns
     # (round 2's elapsed-time gate erased it from the artifact)
     elas = None
-    if os.environ.get("BENCH_ELAS", "1") == "1" and fmt == "stencil":
+    if (
+        os.environ.get("BENCH_ELAS", "1") == "1"
+        and fmt == "stencil"
+        and tunnel_ok  # wedged tunnel: don't burn budget on more children
+    ):
         n_e = int(os.environ.get("BENCH_N_ELAS", "80"))  # 3*81^3 = 1.59M dofs
         d_e = _run_elas_child(n_e, tol)
         if d_e is None:  # one smaller retry so the variant still records
