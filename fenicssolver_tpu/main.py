@@ -50,6 +50,10 @@ def main(case_input):
         from .solvers.scalar_transport_dg import ScalarTransportDGSolver
 
         solver = ScalarTransportDGSolver(settings)
+    elif solver_name == "NSDGSolver":
+        from .solvers.navier_stokes_dg import NSDGSolver
+
+        solver = NSDGSolver(settings)
     elif solver_name == "LinearElasticitySolver":
         from .solvers.linear_elasticity import LinearElasticitySolver
 

@@ -1,0 +1,427 @@
+"""Discontinuous-Galerkin incompressible Navier-Stokes (beyond parity).
+
+The reference only ships a DG variant of the SCALAR solver
+(``FenicsSolver/ScalarTransportDGSolver.py`` — self-declared broken);
+a DG Navier-Stokes is listed here as ROADMAP item 10 with no upstream
+analog.  Discretization: interior-penalty (SIPG) viscous terms on a
+discontinuous vector velocity, conservative upwind convective fluxes,
+and the classic DG saddle pair ``DG_k`` velocity / ``DG_{k-1}`` pressure
+(``fe_degree = k-1`` in the settings, mirroring the Taylor-Hood
+convention of the CG solver — the default ``fe_degree=1`` gives DG2/DG1,
+which reproduces Poiseuille flow exactly).  Conventions follow the CG
+``CoupledNavierStokesSolver``: the stored pressure is DYNAMIC, the
+equations are divided by rho, and the advecting velocity is the traced
+iterate (Newton) or the frozen Picard iterate in ``aux["wfrozen"]`` so
+the parent's Picard refresh and Newton driver both apply unchanged.
+
+Deviation from the CG solver (documented): the viscous volume term is
+the gradient (Laplacian) form ``nu grad(u):grad(v)`` rather than
+``2 nu eps(u):eps(v)`` — the standard choice in the DG NS literature,
+whose facet algebra (SIPG consistency/symmetry/penalty on the full
+gradient) is what makes the method stable.  For divergence-free fields
+the volume terms coincide; the natural outflow condition becomes
+``nu du/dn - p n = 0`` instead of the 2-eps traction.
+
+All Dirichlet data enters WEAKLY (Nitsche/upwind); the returned
+DirichletData is empty (strong rows on a DG space are ill-posed — same
+fix as ``scalar_transport_dg.py``).  Pressure BCs impose the do-nothing
+outflow ``nu du/dn - (p - p0) n = 0`` plus the prescribed-pressure
+boundary work; enclosed flows therefore need at least one pressure
+boundary (or an external gauge) exactly like the CG solver's direct
+path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import assembly, geometry
+from .navier_stokes import CoupledNavierStokesSolver
+from .solver_base import SolverError
+
+
+class NSDGSolver(CoupledNavierStokesSolver):
+    def __init__(self, case_input):
+        case_input = dict(case_input)
+        case_input["fe_family"] = "DG"
+        if case_input.get("solving_temperature"):
+            raise SolverError("NSDGSolver does not couple temperature")
+        CoupledNavierStokesSolver.__init__(self, case_input)
+        self.settings["fe_family"] = "DG"
+
+    # the parent's generate_function_space already honors fe_family="DG"
+    # (VectorFunctionSpace(mesh, "DG", fe_degree+1) + DG(fe_degree)), so
+    # only the form changes.
+
+    def generate_form(self, time_iter_, trial, test, up_current, up_prev):
+        W = self.function_space
+        mesh = self.mesh
+        d = mesh.gdim
+        rho = float(self.material["density"])
+        nu_spec, nu_nonlinear = self.viscosity_fn()
+        if nu_nonlinear:
+            raise SolverError("NSDGSolver supports constant viscosity only")
+        nu = float(nu_spec)
+        vd = self.vel_degree
+        pd = self.pressure_degree
+        if pd < 1:
+            raise SolverError("NSDGSolver needs pressure degree >= 1")
+        # the conservative convection integrand (u x u):grad(phi) is degree
+        # 3k-1 (= 5 for DG2); 2k is NOT enough for the exact-Poiseuille
+        # consistency the tests anchor
+        qdeg = 3 * vd
+        tab_v = geometry.basis_tables(mesh.tdim, vd, qdeg)
+        tab_p = geometry.basis_tables(mesh.tdim, pd, qdeg)
+        ctx = geometry.build_cell_context(W, qdeg)
+
+        phi_v = jnp.asarray(tab_v.phi)
+        dphi_v = jnp.asarray(tab_v.dphi)
+        phi_p = jnp.asarray(tab_p.phi)
+        qw = jnp.asarray(tab_v.qw)
+
+        Vv, Q = W.subspaces[0], W.subspaces[1]
+        kv = Vv.scalar_space.ndof_el
+        kp = Q.ndof_el
+        nu_off = kv * d
+        ktot = nu_off + kp
+
+        # SIPG penalty: alpha nu / h with a degree-squared scale (the
+        # standard sufficient-penalty growth for P_k traces)
+        alpha = float(
+            self.settings.get("advection_settings", {}).get(
+                "alpha", 4.0 * (vd + 1) ** 2
+            )
+        )
+
+        transient = bool(self.transient_settings["transient"])
+        dt = self.get_time_step(time_iter_) if transient else 1.0
+        newton = bool(self.using_nonlinear_solver)
+
+        body = None
+        if self.settings.get("body_source"):
+            bf = self.get_body_source()
+            b_arr = assembly.coeff_at_qp(
+                bf, np.asarray(ctx.qpx), quad_pts=tab_v.qp
+            )
+            body = jnp.asarray(np.asarray(b_arr, dtype=np.float64))
+
+        def split_w(we):
+            return we[:nu_off].reshape(kv, d), we[nu_off:ktot]
+
+        aux = {}
+        if transient:
+            aux["wprev"] = jnp.asarray(up_prev.values)[ctx.cell_dofs]
+        if not newton:
+            aux["wfrozen"] = jnp.asarray(up_current.values)[ctx.cell_dofs]
+        aux = aux or None
+
+        def cell_kernel(we, geom, aux_e):
+            U, P = split_w(we)
+            dphig = geometry.phys_grads(dphi_v, geom.Jinv)  # (nq, kv, g)
+            wdet = qw * geom.detJ
+            u_q = jnp.einsum("qk,kv->qv", phi_v, U)
+            gU = jnp.einsum("qkg,kv->qvg", dphig, U)
+            p_q = (phi_p @ P) / rho
+            if newton:
+                adv = u_q
+            else:
+                U0, _ = split_w(aux_e["wfrozen"])
+                adv = jnp.einsum("qk,kv->qv", phi_v, U0)
+            # momentum: nu grad(u):grad(v) - p div(v) - (u x adv):grad(v)
+            r_v = nu * jnp.einsum("q,qvg,qkg->kv", wdet, gU, dphig)
+            r_v = r_v - jnp.einsum("q,q,qkv->kv", wdet, p_q, dphig)
+            r_v = r_v - jnp.einsum("q,qv,qg,qkg->kv", wdet, u_q, adv, dphig)
+            if body is not None:
+                bq = jnp.broadcast_to(body, u_q.shape)
+                r_v = r_v - jnp.einsum("q,qv,qk->kv", wdet, bq, phi_v)
+            if transient:
+                U0p, _ = split_w(aux_e["wprev"])
+                u0_q = jnp.einsum("qk,kv->qv", phi_v, U0p)
+                r_v = r_v + jnp.einsum(
+                    "q,qv,qk->kv", wdet, (u_q - u0_q) / dt, phi_v
+                )
+            # continuity: div(u) q / rho (matching the CG solver's scaling)
+            divU = jnp.trace(gU, axis1=1, axis2=2)
+            r_p = jnp.einsum("q,q,qk->k", wdet, divU / rho, phi_p)
+            return jnp.concatenate([r_v.reshape(-1), r_p])
+
+        form = assembly.Form(space=W)
+        form.cell_terms.append(
+            assembly.CellTerm(kernel=cell_kernel, ctx=ctx, aux=aux)
+        )
+
+        # ---- interior facets: SIPG viscous + pressure/continuity
+        # couplings + upwind convective flux -----------------------------
+        interior = np.nonzero(~mesh.exterior_facet_mask())[0].astype(np.int32)
+        ifctx = geometry.build_interior_facet_context(W, interior, qdeg)
+        fphi_v_tab, fdphi_v_tab, fw, _ = geometry.facet_basis_tables(
+            mesh.tdim, vd, qdeg
+        )
+        fphi_p_tab, _, _, _ = geometry.facet_basis_tables(mesh.tdim, pd, qdeg)
+        fphi_v = jnp.asarray(fphi_v_tab)
+        fdphi_v = jnp.asarray(fdphi_v_tab)
+        fphi_p = jnp.asarray(fphi_p_tab)
+        fwj = jnp.asarray(fw)
+
+        if_aux = None
+        if not newton:
+            if_aux = {
+                "wfrozen": jnp.asarray(up_current.values)[ifctx.cell_dofs]
+            }
+
+        def interior_kernel(we, geom, aux_e):
+            wp, wm = we[:ktot], we[ktot:]
+            Up, Pp = split_w(wp)
+            Um, Pm = split_w(wm)
+            phvp = fphi_v[geom.local_plus]
+            phvm = fphi_v[geom.local_minus]
+            dgvp = jnp.einsum(
+                "qkt,tg->qkg", fdphi_v[geom.local_plus], geom.Jinv_plus
+            )
+            dgvm = jnp.einsum(
+                "qkt,tg->qkg", fdphi_v[geom.local_minus], geom.Jinv_minus
+            )
+            phpp = fphi_p[geom.local_plus]
+            phpm = fphi_p[geom.local_minus]
+            n = geom.normal  # out of the plus cell
+            wdetF = fwj * geom.detF
+            up_q = jnp.einsum("qk,kv->qv", phvp, Up)
+            um_q = jnp.einsum("qk,kv->qv", phvm, Um)
+            gup = jnp.einsum("qkg,kv->qvg", dgvp, Up)
+            gum = jnp.einsum("qkg,kv->qvg", dgvm, Um)
+            pp_q = (phpp @ Pp) / rho
+            pm_q = (phpm @ Pm) / rho
+            jU = up_q - um_q  # [u]
+            avg_gU_n = 0.5 * jnp.einsum("qvg,g->qv", gup + gum, n)
+            h_avg = 0.5 * (geom.h_plus + geom.h_minus)
+            pen = alpha * nu / h_avg  # (nq? no: scalar per facet) -> (1,)
+
+            # viscous SIPG (vector form of scalar_transport_dg.py:168-176)
+            rvp = pen * jnp.einsum("q,qv,qk->kv", wdetF, jU, phvp)
+            rvm = -pen * jnp.einsum("q,qv,qk->kv", wdetF, jU, phvm)
+            rvp = rvp - nu * jnp.einsum("q,qv,qk->kv", wdetF, avg_gU_n, phvp)
+            rvm = rvm + nu * jnp.einsum("q,qv,qk->kv", wdetF, avg_gU_n, phvm)
+            agp = 0.5 * jnp.einsum("qkg,g->qk", dgvp, n)
+            agm = 0.5 * jnp.einsum("qkg,g->qk", dgvm, n)
+            rvp = rvp - nu * jnp.einsum("q,qv,qk->kv", wdetF, jU, agp)
+            rvm = rvm - nu * jnp.einsum("q,qv,qk->kv", wdetF, jU, agm)
+
+            # pressure coupling: + {p}[v.n]
+            pav = 0.5 * (pp_q + pm_q)
+            rvp = rvp + jnp.einsum("q,q,qk,v->kv", wdetF, pav, phvp, n)
+            rvm = rvm - jnp.einsum("q,q,qk,v->kv", wdetF, pav, phvm, n)
+            # continuity coupling: - {q}[u.n] / rho-consistent (p already
+            # carries 1/rho; continuity matches the cell term's 1/rho)
+            jUn = jnp.einsum("qv,v->q", jU, n)
+            rpp = -0.5 * jnp.einsum("q,q,qk->k", wdetF, jUn, phpp) / rho
+            rpm = -0.5 * jnp.einsum("q,q,qk->k", wdetF, jUn, phpm) / rho
+
+            # conservative upwind convection: flux = (adv.n) u_upwind
+            if newton:
+                adv = 0.5 * (up_q + um_q)
+            else:
+                wfp, wfm = aux_e["wfrozen"][:ktot], aux_e["wfrozen"][ktot:]
+                U0p, _ = split_w(wfp)
+                U0m, _ = split_w(wfm)
+                adv = 0.5 * (
+                    jnp.einsum("qk,kv->qv", phvp, U0p)
+                    + jnp.einsum("qk,kv->qv", phvm, U0m)
+                )
+            an = jnp.einsum("qv,v->q", adv, n)
+            u_up = jnp.where(an[:, None] >= 0, up_q, um_q)
+            flux = an[:, None] * u_up
+            rvp = rvp + jnp.einsum("q,qv,qk->kv", wdetF, flux, phvp)
+            rvm = rvm - jnp.einsum("q,qv,qk->kv", wdetF, flux, phvm)
+
+            zp = jnp.concatenate([rvp.reshape(-1), rpp])
+            zm = jnp.concatenate([rvm.reshape(-1), rpm])
+            return jnp.concatenate([zp, zm])
+
+        form.facet_terms.append(
+            assembly.FacetTerm(kernel=interior_kernel, ctx=ifctx, aux=if_aux)
+        )
+
+        # ---- boundary terms (all weak) ---------------------------------
+        self._dg_ns_boundary_terms(
+            form, qdeg, nu, rho, alpha, newton, up_current,
+            fphi_v, fdphi_v, fphi_p, fwj, kv, kp, d, split_w,
+        )
+        form.finalize()
+        empty = assembly.DirichletData(W.ndof).finalize()
+        return form, empty
+
+    def _dg_ns_boundary_terms(self, form, qdeg, nu, rho, alpha, newton,
+                              up_current, fphi_v, fdphi_v, fphi_p, fwj,
+                              kv, kp, d, split_w):
+        W = self.function_space
+        mesh = self.mesh
+        nu_off = kv * d
+        ktot = nu_off + kp
+        h = mesh.cell_sizes()
+        covered = []
+
+        for name, bc_settings in self.boundary_conditions.items():
+            i = bc_settings["boundary_id"]
+            fids = self.boundary_facet_ids(i)
+            if len(fids) == 0:
+                continue
+            values = bc_settings.get("values", bc_settings)
+            if isinstance(values, dict):
+                values = list(values.values())
+            elif not isinstance(values, (list, tuple)):
+                values = [values]
+            covered.append(np.asarray(fids))
+            fctx = geometry.build_facet_context(W, fids, qdeg)
+            baux = {"h": jnp.asarray(h[np.asarray(fctx.cells)])}
+            if not newton:
+                baux["wfrozen"] = jnp.asarray(up_current.values)[
+                    fctx.cell_dofs
+                ]
+
+            vel_bc = pres_bc = None
+            for v in values:
+                if v.get("variable", "velocity") == "velocity" and v[
+                    "type"
+                ] in ("Dirichlet", "fixedValue"):
+                    vel_bc = v
+                elif v.get("variable") == "pressure" and v["type"] in (
+                    "Dirichlet", "fixedValue",
+                ):
+                    pres_bc = v
+                else:
+                    raise SolverError(
+                        f"NSDGSolver: unsupported boundary value {v}"
+                    )
+
+            if vel_bc is not None:
+                gval = self.translate_value(vel_bc["value"])
+                g_arr = np.asarray(
+                    assembly.coeff_at_qp(
+                        gval, np.asarray(fctx.qpx),
+                        t=self.get_current_time(),
+                    ),
+                    dtype=np.float64,
+                )
+                nqf = fctx.qpx.shape[1]
+                g_arr = np.broadcast_to(
+                    g_arr, (len(fids), nqf, d)
+                )
+                baux["g"] = jnp.asarray(g_arr)
+
+                def dirichlet_kernel(we, geom, aux_e):
+                    U, P = split_w(we)
+                    phv = fphi_v[geom.local_id]
+                    dgv = jnp.einsum(
+                        "qkt,tg->qkg", fdphi_v[geom.local_id], geom.Jinv
+                    )
+                    php = fphi_p[geom.local_id]
+                    n = geom.normal
+                    wdetF = fwj * geom.detF
+                    u_q = jnp.einsum("qk,kv->qv", phv, U)
+                    gU = jnp.einsum("qkg,kv->qvg", dgv, U)
+                    p_q = (php @ P) / rho
+                    gq = aux_e["g"]
+                    diff = u_q - gq
+                    pen = alpha * nu / aux_e["h"]
+                    # Nitsche viscous: penalty + consistency + symmetry
+                    rv = pen * jnp.einsum("q,qv,qk->kv", wdetF, diff, phv)
+                    gU_n = jnp.einsum("qvg,g->qv", gU, n)
+                    rv = rv - nu * jnp.einsum("q,qv,qk->kv", wdetF, gU_n, phv)
+                    gphi_n = jnp.einsum("qkg,g->qk", dgv, n)
+                    rv = rv - nu * jnp.einsum(
+                        "q,qv,qk->kv", wdetF, diff, gphi_n
+                    )
+                    # pressure boundary work: + p (v.n)
+                    rv = rv + jnp.einsum("q,q,qk,v->kv", wdetF, p_q, phv, n)
+                    # convection: upwind between interior trace and g
+                    if newton:
+                        adv = u_q
+                    else:
+                        U0, _ = split_w(aux_e["wfrozen"])
+                        adv = jnp.einsum("qk,kv->qv", phv, U0)
+                    an = jnp.einsum("qv,v->q", adv, n)
+                    flux = (
+                        jnp.maximum(an, 0.0)[:, None] * u_q
+                        + jnp.minimum(an, 0.0)[:, None] * gq
+                    )
+                    rv = rv + jnp.einsum("q,qv,qk->kv", wdetF, flux, phv)
+                    # continuity: - q (u.n - g.n) / rho
+                    un_g = jnp.einsum("qv,v->q", diff, n)
+                    rp = -jnp.einsum("q,q,qk->k", wdetF, un_g, php) / rho
+                    return jnp.concatenate([rv.reshape(-1), rp])
+
+                form.facet_terms.append(
+                    assembly.FacetTerm(
+                        kernel=dirichlet_kernel, ctx=fctx, aux=baux
+                    )
+                )
+            elif pres_bc is not None:
+                pv = self.translate_value(pres_bc["value"])
+                p0 = float(getattr(pv, "value", pv))
+
+                def outflow_kernel(we, geom, aux_e, p0=p0):
+                    U, P = split_w(we)
+                    phv = fphi_v[geom.local_id]
+                    n = geom.normal
+                    wdetF = fwj * geom.detF
+                    u_q = jnp.einsum("qk,kv->qv", phv, U)
+                    # do-nothing with prescribed pressure:
+                    # nu du/dn - (p - p0) n = 0  ->  + (p0/rho)(v.n)
+                    rv = (p0 / rho) * jnp.einsum(
+                        "q,qk,v->kv", wdetF, phv, n
+                    )
+                    # convective closure (handles outflow and backflow
+                    # with the interior trace)
+                    if newton:
+                        adv = u_q
+                    else:
+                        U0, _ = split_w(aux_e["wfrozen"])
+                        adv = jnp.einsum("qk,kv->qv", phv, U0)
+                    an = jnp.einsum("qv,v->q", adv, n)
+                    rv = rv + jnp.einsum(
+                        "q,qv,qk->kv", wdetF, an[:, None] * u_q, phv
+                    )
+                    rp = jnp.zeros(kp, dtype=rv.dtype)
+                    return jnp.concatenate([rv.reshape(-1), rp])
+
+                form.facet_terms.append(
+                    assembly.FacetTerm(
+                        kernel=outflow_kernel, ctx=fctx, aux=baux
+                    )
+                )
+
+        # unmarked exterior facets: do-nothing (p0 = 0) + convective closure
+        all_ext = mesh.exterior_facets()
+        cov = (
+            np.concatenate(covered) if covered else np.zeros(0, dtype=np.int64)
+        )
+        rest = np.setdiff1d(np.asarray(all_ext), cov).astype(np.int32)
+        if len(rest):
+            fctx = geometry.build_facet_context(W, rest, qdeg)
+            raux = None
+            if not newton:
+                raux = {
+                    "wfrozen": jnp.asarray(up_current.values)[fctx.cell_dofs]
+                }
+
+            def rest_kernel(we, geom, aux_e):
+                U, P = split_w(we)
+                phv = fphi_v[geom.local_id]
+                n = geom.normal
+                wdetF = fwj * geom.detF
+                u_q = jnp.einsum("qk,kv->qv", phv, U)
+                if newton:
+                    adv = u_q
+                else:
+                    U0, _ = split_w(aux_e["wfrozen"])
+                    adv = jnp.einsum("qk,kv->qv", phv, U0)
+                an = jnp.einsum("qv,v->q", adv, n)
+                rv = jnp.einsum("q,qv,qk->kv", wdetF, an[:, None] * u_q, phv)
+                return jnp.concatenate(
+                    [rv.reshape(-1), jnp.zeros(kp, dtype=rv.dtype)]
+                )
+
+            form.facet_terms.append(
+                assembly.FacetTerm(kernel=rest_kernel, ctx=fctx, aux=raux)
+            )
