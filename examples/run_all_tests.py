@@ -23,6 +23,7 @@ EXAMPLES = [
     "test_maxwell_em.py",
     "test_compressible_flow.py",
     "test_adjoint_inverse.py",
+    "test_dg_flow.py",
 ]
 
 here = os.path.dirname(os.path.abspath(__file__))
