@@ -315,3 +315,82 @@ def test_ns_drag_sensitivity_wrt_inflow():
     fd = (float(J(1.0 + eps)) - float(J(1.0 - eps))) / (2 * eps)
     assert abs(float(g) - fd) <= 2e-5 * max(abs(fd), 1e-6), (float(g), fd)
     assert abs(fd) > 1e-8  # the sensitivity is non-trivial
+
+
+def test_elasticity_compliance_sensitivity():
+    """Vector-space adjoint through the spd Krylov path: gradient of the
+    compliance of a cantilever (tip-loaded linear elasticity) w.r.t. a
+    per-cell Young's-modulus field matches finite differences."""
+    from fenicssolver_tpu.core.spaces import VectorFunctionSpace
+
+    mesh = UnitSquareMesh(6, 4)
+    V = VectorFunctionSpace(mesh, "CG", 1)
+    tab = geometry.basis_tables(mesh.tdim, 1, 2)
+    dphi, qw, phi = (jnp.asarray(tab.dphi), jnp.asarray(tab.qw),
+                     jnp.asarray(tab.phi))
+    nu_p = 0.3
+    ks = V.scalar_space.ndof_el
+    d = V.vdim
+    traction = jnp.asarray([0.0, -0.01])
+
+    def kern(ue, geom, aux):
+        U = ue.reshape(ks, d)
+        dphig = geometry.phys_grads(dphi, geom.Jinv)
+        gU = jnp.einsum("qkg,kv->qvg", dphig, U)
+        eps = 0.5 * (gU + jnp.swapaxes(gU, 1, 2))
+        E = aux["E"]
+        lam = E * nu_p / ((1 + nu_p) * (1 - 2 * nu_p))
+        mu = E / (2 * (1 + nu_p))
+        tr = jnp.trace(eps, axis1=1, axis2=2)
+        sig = 2 * mu * eps + lam * tr[:, None, None] * jnp.eye(d)
+        r = jnp.einsum("q,qvg,qkg->kv", qw, sig, dphig)
+        return (r * geom.detJ).reshape(-1)
+
+    ctx = geometry.build_cell_context(V, 2)
+    nc = mesh.num_cells()
+    form = assembly.Form(space=V)
+    form.cell_terms.append(assembly.CellTerm(
+        kernel=kern, ctx=ctx, aux={"E": jnp.ones(nc)}))
+    # tip traction on the right edge
+    right = np.flatnonzero(
+        np.abs(np.asarray(mesh.midpoints("facet"))[:, 0] - 1.0) < 1e-12
+    )
+    right = np.intersect1d(right, np.asarray(mesh.exterior_facets()))
+    fctx = geometry.build_facet_context(V, right.astype(np.int32), 2)
+    fphi_tab, _, fw, _ = geometry.facet_basis_tables(mesh.tdim, 1, 2)
+    fphi, fwj = jnp.asarray(fphi_tab), jnp.asarray(fw)
+
+    def fkern(ue, geom, aux):
+        phif = fphi[geom.local_id]
+        r = -jnp.einsum("q,v,qk->kv", fwj * geom.detF, traction, phif)
+        return r.reshape(-1)
+
+    form.facet_terms.append(assembly.FacetTerm(kernel=fkern, ctx=fctx))
+    form.finalize()
+
+    X = V.scalar_space.dof_coords
+    clamped = np.flatnonzero(np.abs(X[:, 0]) < 1e-12)
+    dd = assembly.DirichletData(V.ndof)
+    dd.add(np.concatenate([2 * clamped, 2 * clamped + 1]),
+           np.zeros(2 * len(clamped)))
+    dd.finalize()
+
+    solver = make_implicit_solver(form, dd, linear=True, spd=True)
+
+    def compliance(E):
+        u = solver({"E": E})
+        return jnp.sum(u * u)
+
+    E0 = jnp.asarray(1.0 + 0.2 * np.random.default_rng(5).random(nc))
+    g = jax.grad(compliance)(E0)
+    eps = 1e-6
+    for c in [0, nc - 2]:
+        e = np.zeros(nc)
+        e[c] = 1.0
+        fd = (float(compliance(E0 + eps * e))
+              - float(compliance(E0 - eps * e))) / (2 * eps)
+        assert abs(float(g[c]) - fd) <= 1e-5 * max(abs(fd), 1e-10), (
+            c, float(g[c]), fd,
+        )
+    # stiffening anywhere must REDUCE the compliance of a load-driven body
+    assert (np.asarray(g) < 1e-12).all()
