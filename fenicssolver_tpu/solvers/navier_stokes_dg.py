@@ -280,6 +280,7 @@ class NSDGSolver(CoupledNavierStokesSolver):
                 ]
 
             vel_bc = pres_bc = None
+            sym_bc = far_bc = False
             for v in values:
                 if v.get("variable", "velocity") == "velocity" and v[
                     "type"
@@ -289,6 +290,10 @@ class NSDGSolver(CoupledNavierStokesSolver):
                     "Dirichlet", "fixedValue",
                 ):
                     pres_bc = v
+                elif v["type"] == "symmetry":
+                    sym_bc = True
+                elif v["type"] == "farfield":
+                    far_bc = True
                 else:
                     raise SolverError(
                         f"NSDGSolver: unsupported boundary value {v}"
@@ -388,6 +393,79 @@ class NSDGSolver(CoupledNavierStokesSolver):
                 form.facet_terms.append(
                     assembly.FacetTerm(
                         kernel=outflow_kernel, ctx=fctx, aux=baux
+                    )
+                )
+
+            elif sym_bc:
+                # free-slip symmetry plane (CG analog: penalize normal
+                # velocity, drop tangential viscous stress,
+                # navier_stokes.py velocity "symmetry"): Nitsche on the
+                # NORMAL component only; tangential traction stays
+                # natural (zero)
+                def symmetry_kernel(we, geom, aux_e):
+                    U, P = split_w(we)
+                    phv = fphi_v[geom.local_id]
+                    dgv = jnp.einsum(
+                        "qkt,tg->qkg", fdphi_v[geom.local_id], geom.Jinv
+                    )
+                    php = fphi_p[geom.local_id]
+                    n = geom.normal
+                    wdetF = fwj * geom.detF
+                    u_q = jnp.einsum("qk,kv->qv", phv, U)
+                    gU = jnp.einsum("qkg,kv->qvg", dgv, U)
+                    p_q = (php @ P) / rho
+                    un = jnp.einsum("qv,v->q", u_q, n)
+                    pen = alpha * nu / aux_e["h"]
+                    # normal-normal viscous flux n.(grad u n) and its test
+                    nn_flux = jnp.einsum("qvg,v,g->q", gU, n, n)
+                    gphi_nn = jnp.einsum("qkg,g->qk", dgv, n)
+                    # rv[k, v]: everything multiplies (phi.n) -> phv*n[v]
+                    rv = pen * jnp.einsum("q,q,qk,v->kv", wdetF, un, phv, n)
+                    rv = rv - nu * jnp.einsum(
+                        "q,q,qk,v->kv", wdetF, nn_flux, phv, n
+                    )
+                    rv = rv - nu * jnp.einsum(
+                        "q,q,qk,v->kv", wdetF, un, gphi_nn, n
+                    )
+                    # pressure boundary work (normal traction consistency)
+                    rv = rv + jnp.einsum("q,q,qk,v->kv", wdetF, p_q, phv, n)
+                    # continuity mass consistency: - q (u.n) / rho
+                    rp = -jnp.einsum("q,q,qk->k", wdetF, un, php) / rho
+                    return jnp.concatenate([rv.reshape(-1), rp])
+
+                form.facet_terms.append(
+                    assembly.FacetTerm(
+                        kernel=symmetry_kernel, ctx=fctx, aux=baux
+                    )
+                )
+            elif far_bc:
+                # farfield: zero velocity gradient (CG analog) — no
+                # viscous closure, pressure work with the traced p,
+                # convective closure with the interior trace
+                def farfield_kernel(we, geom, aux_e):
+                    U, P = split_w(we)
+                    phv = fphi_v[geom.local_id]
+                    php = fphi_p[geom.local_id]
+                    n = geom.normal
+                    wdetF = fwj * geom.detF
+                    u_q = jnp.einsum("qk,kv->qv", phv, U)
+                    p_q = (php @ P) / rho
+                    rv = jnp.einsum("q,q,qk,v->kv", wdetF, p_q, phv, n)
+                    if newton:
+                        adv = u_q
+                    else:
+                        U0, _ = split_w(aux_e["wfrozen"])
+                        adv = jnp.einsum("qk,kv->qv", phv, U0)
+                    an = jnp.einsum("qv,v->q", adv, n)
+                    rv = rv + jnp.einsum(
+                        "q,qv,qk->kv", wdetF, an[:, None] * u_q, phv
+                    )
+                    rp = jnp.zeros(kp, dtype=rv.dtype)
+                    return jnp.concatenate([rv.reshape(-1), rp])
+
+                form.facet_terms.append(
+                    assembly.FacetTerm(
+                        kernel=farfield_kernel, ctx=fctx, aux=baux
                     )
                 )
 

@@ -129,3 +129,73 @@ def test_dg_picard_matches_newton():
         up_n.values
     )
     assert err < 1e-3, err
+
+
+def test_dg_symmetry_halfchannel_exact():
+    """Half-channel with the Poiseuille centerline as a free-slip
+    symmetry plane: the DG2/DG1 solution still reproduces the exact
+    profile (the Nitsche-on-normal symmetry terms are consistent)."""
+    from fenicssolver_tpu.core import (
+        AutoSubDomain,
+        Expression,
+        RectangleMesh,
+        near,
+    )
+
+    mesh = RectangleMesh((0.0, 0.0), (1.0, 0.5), 5, 3)
+    inlet = AutoSubDomain(lambda x: near(x[0], 0.0))
+    outlet = AutoSubDomain(lambda x: near(x[0], 1.0))
+    center = AutoSubDomain(lambda x: near(x[1], 0.5))
+    bottom = AutoSubDomain(lambda x: near(x[1], 0.0))
+    parabola = Expression(
+        ("umax*4.0*x[1]*(1.0-x[1])", "0"), umax=U_MAX, degree=2
+    )
+    s = dg_settings()
+    s["mesh"] = mesh
+    s["boundary_conditions"] = {
+        "inlet": {"boundary": inlet, "boundary_id": 1, "values": [
+            {"variable": "velocity", "type": "Dirichlet",
+             "value": parabola}]},
+        "outlet": {"boundary": outlet, "boundary_id": 2, "values": [
+            {"variable": "pressure", "type": "Dirichlet", "value": 0.0}]},
+        "center": {"boundary": center, "boundary_id": 3, "values": [
+            {"variable": "velocity", "type": "symmetry", "value": None}]},
+        "bottom": {"boundary": bottom, "boundary_id": 4, "values": [
+            {"variable": "velocity", "type": "Dirichlet",
+             "value": (0.0, 0.0)}]},
+    }
+    solver = NSDGSolver(s)
+    up = solver.solve()
+    u, p = _fields(solver, up)
+    Xv = solver.function_space.subspaces[0].scalar_space.dof_coords
+    u_ex = np.stack(
+        [4 * U_MAX * Xv[:, 1] * (1 - Xv[:, 1]), np.zeros(len(Xv))], axis=1
+    )
+    err = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
+    assert err < 1e-8, err
+
+
+def test_dg_farfield_outlet_exact():
+    """Farfield (zero velocity gradient, traced pressure work) on the
+    upper half of the outlet, pressure-Dirichlet gauge on the lower
+    half: both closures are consistent with exact Poiseuille, so the
+    solution stays exact."""
+    from fenicssolver_tpu.core import AutoSubDomain, near
+
+    s = dg_settings(nx=4, ny=4)
+    bcs = s["boundary_conditions"]
+    out_lo = AutoSubDomain(lambda x: near(x[0], 1.0) and x[1] <= 0.5)
+    out_hi = AutoSubDomain(lambda x: near(x[0], 1.0) and x[1] >= 0.5)
+    bcs["outlet"] = {"boundary": out_lo, "boundary_id": 2, "values": [
+        {"variable": "pressure", "type": "Dirichlet", "value": 0.0}]}
+    bcs["outlet_far"] = {"boundary": out_hi, "boundary_id": 5, "values": [
+        {"variable": "velocity", "type": "farfield", "value": None}]}
+    solver = NSDGSolver(s)
+    up = solver.solve()
+    u, p = _fields(solver, up)
+    Xv = solver.function_space.subspaces[0].scalar_space.dof_coords
+    u_ex = np.stack(
+        [4 * U_MAX * Xv[:, 1] * (1 - Xv[:, 1]), np.zeros(len(Xv))], axis=1
+    )
+    err = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
+    assert err < 1e-8, err
