@@ -24,6 +24,7 @@ EXAMPLES = [
     "test_compressible_flow.py",
     "test_adjoint_inverse.py",
     "test_dg_flow.py",
+    "test_contact_mechanics.py",
 ]
 
 here = os.path.dirname(os.path.abspath(__file__))

@@ -111,3 +111,28 @@ def test_distributed_picard_routes_sharded():
     dist.using_nonlinear_solver = False
     up = dist.solve()
     check_poiseuille(dist, up, 1e-3, 1e-2)
+
+
+def test_distributed_dg_ns_matches_serial():
+    """The halo saddle solver is layout-generic: the DG NS form (DG2/DG1,
+    weak boundaries, interior-facet coupling in the sparsity) distributes
+    through the same path and matches the serial solve."""
+    import copy
+
+    from fenicssolver_tpu.solvers.navier_stokes_dg import NSDGSolver
+
+    assert len(jax.devices()) >= 8
+    s = copy.deepcopy(channel_settings(4, 4))
+    s["solver_name"] = "NSDGSolver"
+    serial = NSDGSolver(copy.deepcopy(s))
+    up_serial = serial.solve()
+
+    s2 = copy.deepcopy(s)
+    s2["solver_settings"]["solver_parameters"]["distributed"] = True
+    dist = NSDGSolver(s2)
+    up_dist = dist.solve()
+    assert getattr(dist, "_ns_halo_solver", None) is not None
+    err = np.linalg.norm(
+        up_dist.values - up_serial.values
+    ) / np.linalg.norm(up_serial.values)
+    assert err < 1e-8, err
