@@ -312,9 +312,16 @@ class NSDGSolver(CoupledNavierStokesSolver):
                 g_arr = np.broadcast_to(
                     g_arr, (len(fids), nqf, d)
                 )
-                baux["g"] = jnp.asarray(g_arr)
+                # UNIQUE aux key per boundary: boundary values are then
+                # addressable (and differentiable) through the same
+                # aux_update channel as material fields — see
+                # ops/adjoint.py and tests/test_ns_dg.py's sensitivity
+                # test (a shared "g" key would collide across terms of
+                # different facet counts)
+                gkey = f"g:{name}"
+                baux[gkey] = jnp.asarray(g_arr)
 
-                def dirichlet_kernel(we, geom, aux_e):
+                def dirichlet_kernel(we, geom, aux_e, gkey=gkey):
                     U, P = split_w(we)
                     phv = fphi_v[geom.local_id]
                     dgv = jnp.einsum(
@@ -326,7 +333,7 @@ class NSDGSolver(CoupledNavierStokesSolver):
                     u_q = jnp.einsum("qk,kv->qv", phv, U)
                     gU = jnp.einsum("qkg,kv->qvg", dgv, U)
                     p_q = (php @ P) / rho
-                    gq = aux_e["g"]
+                    gq = aux_e[gkey]
                     diff = u_q - gq
                     pen = alpha * nu / aux_e["h"]
                     # Nitsche viscous: penalty + consistency + symmetry

@@ -278,3 +278,87 @@ def test_dg_unstructured_cylinder_flow():
     assert drag_dg > 0 and drag_cg > 0
     # same physics on the same mesh, two different discretizations
     assert abs(drag_dg - drag_cg) / abs(drag_cg) < 0.1, (drag_dg, drag_cg)
+
+
+def test_dg_adjoint_drag_sensitivity():
+    """Differentiable DG NS: boundary values live in per-boundary aux keys
+    ("g:<name>"), so the adjoint machinery (ops/adjoint.py, dense path for
+    the saddle point) differentiates the wall drag w.r.t. the inflow
+    amplitude; verified against central finite differences."""
+    import jax
+    import jax.numpy as jnp
+
+    from fenicssolver_tpu.ops.adjoint import make_implicit_solver
+
+    s = dg_settings(nx=3, ny=3)
+    solver = NSDGSolver(s)
+    up = solver.solve()
+    form, d = solver.generate_form(
+        0, None, None, solver.w_current, solver.w_prev
+    )
+    isolver = make_implicit_solver(
+        form, d, linear=False, spd=False, method="dense", newton_rtol=1e-12
+    )
+    # locate the inlet term's baked boundary data
+    g0 = None
+    for t in form.facet_terms:
+        if t.aux is not None and "g:inlet" in t.aux:
+            g0 = t.aux["g:inlet"]
+    assert g0 is not None
+    u_ref = isolver({})
+    rel = np.linalg.norm(np.asarray(u_ref) - up.values) / np.linalg.norm(
+        up.values
+    )
+    assert rel < 1e-8, rel  # forward Newton == production solve
+
+    W = solver.function_space
+    mesh = solver.mesh
+    from fenicssolver_tpu.ops import geometry
+
+    dgm = mesh.gdim
+    mu = (float(solver.material["kinematic_viscosity"])
+          * float(solver.material["density"]))
+    Vv, Q = W.subspaces[0], W.subspaces[1]
+    kv = Vv.scalar_space.ndof_el
+    nu_off = kv * dgm
+    kp = Q.ndof_el
+    fids = np.concatenate(
+        [solver.boundary_facet_ids(3), solver.boundary_facet_ids(4)]
+    )
+    fctx = geometry.build_facet_context(W, fids, 4)
+    _, fdphi_v_tab, fw, _ = geometry.facet_basis_tables(
+        mesh.tdim, Vv.degree, 4
+    )
+    fphi_p_tab, _, _, _ = geometry.facet_basis_tables(mesh.tdim, Q.degree, 4)
+    fdphi_v = jnp.asarray(fdphi_v_tab)
+    fphi_p = jnp.asarray(fphi_p_tab)
+    fwj = jnp.asarray(fw)
+    I2 = jnp.eye(dgm)
+
+    def facet_force(we, local_id, detF, normal, Jinv):
+        U = we[:nu_off].reshape(kv, dgm)
+        P = we[nu_off:nu_off + kp]
+        dphif = jnp.einsum("qkt,tg->qkg", fdphi_v[local_id], Jinv)
+        gU = jnp.einsum("qkg,kv->qvg", dphif, U)
+        p_q = fphi_p[local_id] @ P
+        sig = mu * (gU + jnp.swapaxes(gU, 1, 2)) - p_q[:, None, None] * I2
+        return -jnp.einsum(
+            "q,qv->v", fwj * detF,
+            jnp.einsum("qvg,g->qv", sig, normal),
+        )
+
+    def drag(upv):
+        f = jax.vmap(facet_force)(
+            upv[fctx.cell_dofs], fctx.local_id, fctx.detF, fctx.normal,
+            fctx.Jinv,
+        )
+        return jnp.sum(f, axis=0)[0]
+
+    def J(scale):
+        return drag(isolver({"g:inlet": g0 * scale}))
+
+    g = jax.grad(J)(1.0)
+    eps = 1e-4
+    fd = (float(J(1.0 + eps)) - float(J(1.0 - eps))) / (2 * eps)
+    assert abs(float(g) - fd) <= 2e-5 * max(abs(fd), 1e-8), (float(g), fd)
+    assert abs(fd) > 1e-8
