@@ -362,3 +362,52 @@ def test_dg_adjoint_drag_sensitivity():
     fd = (float(J(1.0 + eps)) - float(J(1.0 - eps))) / (2 * eps)
     assert abs(float(g) - fd) <= 2e-5 * max(abs(fd), 1e-8), (float(g), fd)
     assert abs(fd) > 1e-8
+
+
+def test_dg_3d_couette_exact():
+    """3D: plane Couette flow in a duct (u = (y, 0, 0), p = 0) is degree
+    1, so DG2/DG1 must reproduce it exactly — exercising the 3D interior
+    -facet machinery, 3D weak Dirichlet, the do-nothing outflow, and the
+    symmetry planes in the spanwise direction."""
+    from fenicssolver_tpu.core import (
+        AutoSubDomain,
+        Expression,
+        UnitCubeMesh,
+        near,
+    )
+
+    mesh = UnitCubeMesh(2, 2, 2)
+    inlet = AutoSubDomain(lambda x: near(x[0], 0.0))
+    outlet = AutoSubDomain(lambda x: near(x[0], 1.0))
+    bottom = AutoSubDomain(lambda x: near(x[1], 0.0))
+    top = AutoSubDomain(lambda x: near(x[1], 1.0))
+    span = AutoSubDomain(lambda x: near(x[2], 0.0) or near(x[2], 1.0))
+    couette = Expression(("x[1]", "0", "0"), degree=1)
+    s = dg_settings()
+    s["mesh"] = mesh
+    s["material"] = {"density": 1.0, "kinematic_viscosity": 0.5}
+    s["initial_values"] = {"velocity": (0.0, 0.0, 0.0), "pressure": 0.0}
+    s["boundary_conditions"] = {
+        "inlet": {"boundary": inlet, "boundary_id": 1, "values": [
+            {"variable": "velocity", "type": "Dirichlet",
+             "value": couette}]},
+        "outlet": {"boundary": outlet, "boundary_id": 2, "values": [
+            {"variable": "pressure", "type": "Dirichlet", "value": 0.0}]},
+        "bottom": {"boundary": bottom, "boundary_id": 3, "values": [
+            {"variable": "velocity", "type": "Dirichlet",
+             "value": (0.0, 0.0, 0.0)}]},
+        "top": {"boundary": top, "boundary_id": 4, "values": [
+            {"variable": "velocity", "type": "Dirichlet",
+             "value": (1.0, 0.0, 0.0)}]},
+        "span": {"boundary": span, "boundary_id": 5, "values": [
+            {"variable": "velocity", "type": "symmetry", "value": None}]},
+    }
+    solver = NSDGSolver(s)
+    up = solver.solve()
+    u, p = _fields(solver, up)
+    Xv = solver.function_space.subspaces[0].scalar_space.dof_coords
+    u_ex = np.zeros_like(u)
+    u_ex[:, 0] = Xv[:, 1]
+    err = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
+    assert err < 1e-8, err
+    assert np.abs(p).max() < 1e-6 * np.abs(u_ex).max()
