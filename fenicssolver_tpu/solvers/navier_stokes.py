@@ -175,6 +175,16 @@ class CoupledNavierStokesSolver(SolverBase):
         # block (F_p = M_p/dt + N_p(u) + nu A_p); 0 for steady runs
         self._pcd_dt_inv = (1.0 / dt) if transient else 0.0
         newton = bool(self.using_nonlinear_solver)
+        # DOCUMENTED DEVIATION option (off = reference parity): the
+        # Laplacian viscous form drops the open-boundary viscous
+        # consistency term entirely, so the momentum block is coercive
+        # (the 2-eps form's open-boundary term makes it mildly indefinite
+        # — docs/ARCHITECTURE.md §7); equivalent for div-free fields, the
+        # outflow condition becomes nu du/dn - p n = 0
+        laplacian_form = (
+            self._solver_params().get("viscous_form") == "laplacian"
+        )
+        self._laplacian_form = laplacian_form
 
         # body force only when configured (reference guard ``:318``; its
         # default-gravity helper ``:118-127`` is otherwise unused)
@@ -262,7 +272,15 @@ class CoupledNavierStokesSolver(SolverBase):
                 adv = adv - aux_e["meshvel"]
 
             # momentum: 2 nu eps(u):eps(v) - p/rho div v + (gradU . adv) . v
-            if nu_nonlinear:
+            # (viscous_form="laplacian": nu grad(u):grad(v) instead — for
+            # div-free fields the volume terms coincide; the open-boundary
+            # condition becomes the classic do-nothing nu du/dn - p n = 0
+            # whose momentum block is COERCIVE, see _add_pressure_boundary_term)
+            if laplacian_form:
+                visc = (
+                    nu_q[:, None, None] * gU if nu_nonlinear else nu_q * gU
+                )
+            elif nu_nonlinear:
                 visc = 2.0 * nu_q[:, None, None] * eps
             else:
                 visc = 2.0 * nu_q * eps
@@ -658,13 +676,15 @@ class CoupledNavierStokesSolver(SolverBase):
                 nu_q = nu_spec(p_q, T_q)[:, None]
             else:
                 nu_q = nu_spec
-            sym = gU + jnp.swapaxes(gU, 1, 2)
-            tv = jnp.einsum("qvg,g->qv", sym, n)
-            if nu_nonlinear:
-                tv = nu_q * tv
-            else:
-                tv = nu_q * tv
-            r_v = r_v - jnp.einsum("q,qv,qk->kv", wdetF, tv, phif)
+            if not getattr(self, "_laplacian_form", False):
+                # 2-eps form: subtract the full symmetric viscous normal
+                # stress (reference :449-452).  The laplacian form needs
+                # NO viscous closure — nu du/dn = 0 is its natural
+                # condition, and omitting the term keeps the momentum
+                # block coercive.
+                sym = gU + jnp.swapaxes(gU, 1, 2)
+                tv = nu_q * jnp.einsum("qvg,g->qv", sym, n)
+                r_v = r_v - jnp.einsum("q,qv,qk->kv", wdetF, tv, phif)
             if backflow:
                 # directional do-nothing: -1/2 (u.n)_- u.v  (kinematic
                 # units, matching the p/rho and nu scaling of this form)
