@@ -367,6 +367,9 @@ class CoupledNavierStokesSolver(SolverBase):
         # penalties) — the block preconditioner applies an exact local
         # correction on the dofs they touch (see _momentum_bcorr)
         self._mom_facet_ids = []
+        # velocity-Dirichlet facets, recorded for the PCD 'robin' variant
+        # (inflow detection happens against the current Newton iterate)
+        self._vel_dirichlet_fid_list = []
         for key, boundary in self.boundary_conditions.items():
             bid = boundary["boundary_id"]
             fids = self.boundary_facet_ids(bid)
@@ -570,6 +573,8 @@ class CoupledNavierStokesSolver(SolverBase):
     def _vel_dirichlet(self, dirichlet, fids, value):
         if len(fids) == 0:
             return
+        if hasattr(self, "_vel_dirichlet_fid_list"):
+            self._vel_dirichlet_fid_list.append(np.asarray(fids))
         W = self.function_space
         Vv = W.subspaces[0]
         d = Vv.vdim
@@ -803,7 +808,39 @@ class CoupledNavierStokesSolver(SolverBase):
             mp_lumped=mp_lumped,
             amg=None,
             amg_pin=None,
+            robin=None,
         )
+        # facet machinery over the velocity-Dirichlet boundary, used by the
+        # 'robin' variant (Elman-Tuminaro 2009): the Robin term in F_p and
+        # the inflow Dirichlet rows of A_p both live on these facets
+        fid_list = getattr(self, "_vel_dirichlet_fid_list", None) or []
+        fids = (
+            np.unique(np.concatenate(fid_list)) if fid_list else
+            np.zeros(0, dtype=np.int32)
+        )
+        if len(fids):
+            qdeg_f = self.vel_degree + 2 * Q.degree
+            fctx = geometry.build_facet_context(Q, fids, qdeg_f)
+            fphi_p, _, fw, _ = geometry.facet_basis_tables(
+                mesh.tdim, Q.degree, qdeg_f
+            )
+            fphi_v, _, _, _ = geometry.facet_basis_tables(
+                mesh.tdim, self.vel_degree, qdeg_f
+            )
+            kp = Q.ndof_el
+            pos_cells = np.asarray(pos).reshape(mesh.num_cells(), kp * kp)
+            cells = np.asarray(fctx.cells)
+            cache["robin"] = dict(
+                # per-facet tables gathered by local facet id
+                phi_p=jnp.asarray(fphi_p)[fctx.local_id],  # (nf, nq, kp)
+                phi_v=jnp.asarray(fphi_v)[fctx.local_id],  # (nf, nq, kv)
+                wdetF=jnp.asarray(fw)[None, :] * fctx.detF[:, None],
+                normal=fctx.normal,
+                pos=jnp.asarray(pos_cells[cells].reshape(-1)),
+                vel_dofs=jnp.asarray(
+                    np.asarray(Vv.scalar_space.cell_dofs)[cells]
+                ),
+            )
         self._pcd_cache = cache
         return cache
 
@@ -821,10 +858,25 @@ class CoupledNavierStokesSolver(SolverBase):
         but the N_p(u) commutator term keeps the outer iteration count
         mesh-independent in advective regimes where the mass-only Schur
         degrades (~65 @ 2.5k dofs -> ~400 @ 9.5k, docs/ROADMAP.md item 8).
-        Boundary treatment: Dirichlet rows of A_p/F_p at the dofs where the
-        system itself prescribes pressure (outflow); one pinned dof for
-        enclosed flow.  A_p^{-1} is an AMG-PCG inner solve; the hierarchy is
-        cached across Newton iterations (A_p is geometry-only)."""
+        Boundary treatment (``solver_parameters.pcd_bc``):
+
+        * ``dirichlet`` (default): Dirichlet rows of A_p/F_p at the dofs
+          where the system itself prescribes pressure (outflow); one
+          pinned dof for enclosed flow — the Kay-Loghin-Wathen heuristic.
+        * ``robin``: inflow-Robin treatment in the spirit of
+          Elman-Tuminaro (2009): both operators carry the inflow boundary
+          mass  R = int_G (u.n)_- phi_a phi_b ds  over the
+          velocity-Dirichlet boundary (A_p += R/nu, F_p += R; the weight
+          (u.n)_- is the prescribed inflow data, so R is
+          iteration-invariant once BCs are applied), and the outflow is
+          NEUMANN — no Dirichlet rows at all, which matters on curved
+          outflow geometries (DFG cylinder) where grounding the pressure
+          operators at the outflow stalls the outer Krylov.  Falls back
+          to ``dirichlet`` while the iterate carries no inflow yet.
+
+        A_p^{-1} is ~2 AMG V-cycles; hierarchies are cached across Newton
+        iterations (A_p is geometry-only; the robin A_p additionally keys
+        on the inflow-mass data, which is BC-fixed)."""
         c = self._pcd_setup()
         from ..la.amg import AMGPreconditioner
         from ..la.sparse import CSRMatrix
@@ -853,6 +905,49 @@ class CoupledNavierStokesSolver(SolverBase):
                 jnp.zeros(c["pattern"].nnz).at[c["pos"]].add(Np_e.reshape(-1))
             )
         dt_inv = float(getattr(self, "_pcd_dt_inv", 0.0))
+        rb = c.get("robin")
+        if (
+            str(self._solver_params().get("pcd_bc", "dirichlet")) == "robin"
+            and rb is not None
+            and u is not None
+        ):
+            uvals = jnp.asarray(u)[W.slice_of(0)].reshape(-1, d)
+            Ue_f = uvals[rb["vel_dofs"]]  # (nf, kv, d)
+            u_qf = jnp.einsum("fqk,fkv->fqv", rb["phi_v"], Ue_f)
+            un = jnp.einsum("fqv,fv->fq", u_qf, rb["normal"])
+            w_in = jnp.maximum(-un, 0.0) * rb["wdetF"]  # (u.n)_- inflow mass
+            Re = jnp.einsum(
+                "fq,fqa,fqb->fab", w_in, rb["phi_p"], rb["phi_p"]
+            )
+            R_data = (
+                jnp.zeros(c["pattern"].nnz).at[rb["pos"]].add(Re.reshape(-1))
+            )
+            if float(jnp.sum(R_data)) > 1e-300:
+                Ap_r = CSRMatrix(
+                    pattern=c["pattern"], data=c["Ap_data"] + R_data / nu0
+                )
+                Fp_r = CSRMatrix(
+                    pattern=c["pattern"],
+                    data=nu0 * c["Ap_data"] + Np_data
+                    + dt_inv * c["Mp_data"] + R_data,
+                )
+                Rkey = np.asarray(R_data)
+                if c.get("amg_robin") is None or not np.array_equal(
+                    c.get("amg_robin_key"), Rkey
+                ):
+                    c["amg_robin"] = AMGPreconditioner(Ap_r.to_scipy())
+                    c["amg_robin_key"] = Rkey
+                amg_r = c["amg_robin"]
+                inv_mp_r = (rho * rho) / jnp.maximum(c["mp_lumped"], 1e-300)
+
+                def S_inv_robin(rp):
+                    y = amg_r(rp)
+                    y = y + amg_r(rp - Ap_r.matvec(y))
+                    z = inv_mp_r * (Fp_r @ y)
+                    return pfree * z + (1.0 - pfree) * rp
+
+                return S_inv_robin
+            # else: no inflow in the current iterate — dirichlet fallback
         Ap = CSRMatrix(pattern=c["pattern"], data=c["Ap_data"])
         Fp = CSRMatrix(
             pattern=c["pattern"],

@@ -112,6 +112,23 @@ def test_pcd_outer_iterations_scale(monkeypatch):
     assert outers[32] <= 1.5 * outers[16], outers
 
 
+def test_pcd_robin_bc_poiseuille(monkeypatch):
+    """``pcd_bc="robin"`` (Elman-Tuminaro inflow-Robin boundary treatment:
+    both pressure operators carry the inflow mass int (u.n)_- p q ds, the
+    outflow stays Neumann).  Exactness on Poiseuille is preserved and the
+    outer count beats the default Dirichlet treatment on the channel
+    (measured 44/59 vs 51/64 at nx=16/32)."""
+    monkeypatch.setattr(direct, "DENSE_LIMIT", 500)
+    s = channel_settings(nx=16, ny=16)
+    sp = s["solver_settings"]["solver_parameters"]
+    sp["preconditioner"] = "pcd"
+    sp["pcd_bc"] = "robin"
+    solver = CoupledNavierStokesSolver(s)
+    up = solver.solve()
+    check_poiseuille(solver, up, 1e-6, 1e-5)
+    assert solver._last_outer_iters <= 55, solver._last_outer_iters
+
+
 def test_pcd_laplacian_viscous_form_flat_outer_iterations(monkeypatch):
     """ROADMAP item 9 resolution: with viscous_form="laplacian" (the
     open-boundary viscous consistency term vanishes, so the momentum
