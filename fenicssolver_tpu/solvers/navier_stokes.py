@@ -1499,18 +1499,24 @@ class CoupledNavierStokesSolver(SolverBase):
                 return sparse_lu_solve(assembly.constrain_csr(J, fm), rhs)
             op = assembly.constrained_operator(J.matvec, fm)
             M = self._block_preconditioner(J, fm)
+            restart = int(sp.get("gmres_restart", 120))
             if mode != "diag":
                 # nonlinear M (V-cycles + local solves) -> flexible GMRES.
                 # restart must exceed the expected outer count (~65 at 10k
-                # dofs): a restart discards superlinear progress
+                # dofs): a restart discards superlinear progress.  The
+                # budget is configurable: hard geometries (DFG cylinder
+                # through pcd) converge but need >960 outer iterations.
                 x, it, res = krylov.fgmres(
-                    op, rhs, M=M, tol=1e-9, restart=120, maxiter=8
+                    op, rhs, M=M, tol=1e-9, restart=restart,
+                    maxiter=int(sp.get("gmres_maxiter", 8)),
                 )
             else:
                 x, it, res = krylov.gmres(
-                    op, rhs, M=M, tol=1e-9, restart=120, maxiter=60
+                    op, rhs, M=M, tol=1e-9, restart=restart,
+                    maxiter=int(sp.get("gmres_maxiter", 60)),
                 )
             self._last_outer_iters = int(it)  # exposed for scaling tests
+            self._last_linear_rel_res = float(res)
             if sp.get("monitor_convergence"):
                 self.logger.info(
                     "fieldsplit-GMRES: %d iters, rel res %.2e", int(it), float(res)

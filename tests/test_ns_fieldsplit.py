@@ -129,6 +129,96 @@ def test_pcd_robin_bc_poiseuille(monkeypatch):
     assert solver._last_outer_iters <= 55, solver._last_outer_iters
 
 
+def test_pcd_robin_unstalls_cylinder_geometry(monkeypatch):
+    """On the DFG cylinder-in-channel geometry the default (Kay-Loghin-
+    Wathen Dirichlet-at-outflow) PCD boundary treatment STALLS the outer
+    Krylov completely — relative residual ~1.0 after the full budget,
+    the round-3 docs/ROADMAP.md DFG-pcd disposition.  The inflow-Robin
+    treatment (``pcd_bc="robin"``) converges on the same system
+    (measured at 13k dofs: worst solve 1055 outer to 1e-9 with an
+    uncapped budget, full Newton convergence, C_D = 5.4637 = 2.1% of the
+    published DFG-2D-1 value at res=16 — vs rel res ~1.0 forever under
+    Dirichlet).  Asserted here on a coarse mesh at two Newton steps with
+    a fixed 360-iteration budget: solve 2 (the first advective Jacobian)
+    is where the Dirichlet treatment stalls."""
+    from fenicssolver_tpu.core import AutoSubDomain, Expression, near
+    from fenicssolver_tpu.core.meshgen import rectangle_with_hole
+
+    monkeypatch.setattr(direct, "DENSE_LIMIT", 500)
+
+    def run(pcd_bc):
+        L, H, c, r = 2.2, 0.41, (0.2, 0.2), 0.05
+        mesh = rectangle_with_hole((0, 0), (L, H), c, r, 10, circle_pts=20)
+        inflow = Expression(
+            ("4.0*Um*x[1]*(H - x[1])/(H*H)", "0"), Um=0.3, H=H, degree=2
+        )
+        bcs = {
+            "inlet": {
+                "boundary": AutoSubDomain(lambda x: near(x[0], 0.0)),
+                "boundary_id": 1,
+                "values": [{"variable": "velocity", "type": "Dirichlet",
+                            "value": inflow}],
+            },
+            "outlet": {
+                "boundary": AutoSubDomain(lambda x: near(x[0], L)),
+                "boundary_id": 2,
+                "values": [{"variable": "pressure", "type": "Dirichlet",
+                            "value": 0.0}],
+            },
+            "walls": {
+                "boundary": AutoSubDomain(
+                    lambda x: near(x[1], 0.0) | near(x[1], H)
+                ),
+                "boundary_id": 3,
+                "values": [{"variable": "velocity", "type": "Dirichlet",
+                            "value": (0.0, 0.0)}],
+            },
+            "cylinder": {
+                "boundary": AutoSubDomain(
+                    lambda x: (x[0] - c[0]) ** 2 + (x[1] - c[1]) ** 2
+                    < (r * 1.2) ** 2
+                ),
+                "boundary_id": 4,
+                "values": [{"variable": "velocity", "type": "Dirichlet",
+                            "value": (0.0, 0.0)}],
+            },
+        }
+        s = {
+            "solver_name": "CoupledNavierStokesSolver",
+            "mesh": mesh,
+            "fe_degree": 1,
+            "boundary_conditions": bcs,
+            "initial_values": {"velocity": (0.0, 0.0), "pressure": 0.0},
+            "material": {"density": 1.0, "kinematic_viscosity": 1e-3},
+            "solver_settings": {
+                "transient_settings": {"transient": False},
+                "solver_parameters": {
+                    "preconditioner": "pcd",
+                    "pcd_bc": pcd_bc,
+                    # two Newton linear solves: the stall appears on the
+                    # SECOND (first advective Jacobian); solve 1 converges
+                    # fast under BOTH treatments
+                    "maximum_iterations": 2,
+                    "gmres_maxiter": 3,       # 360-iteration outer budget
+                },
+            },
+            "report_settings": {"plotting_freq": 0, "saving_freq": 0,
+                                "logging_level": 40},
+        }
+        solver = CoupledNavierStokesSolver(s)
+        try:
+            solver.solve()
+        except Exception:
+            pass  # 1 Newton iteration never meets rtol; the linear-solve
+            # residual (recorded before the raise) is what's under test
+        return solver._last_linear_rel_res
+
+    res_robin = run("robin")
+    res_dirichlet = run("dirichlet")
+    assert res_robin < 1e-2, res_robin          # converging
+    assert res_dirichlet > 0.5, res_dirichlet  # stalled (measured ~0.9-1.0)
+
+
 def test_pcd_laplacian_viscous_form_flat_outer_iterations(monkeypatch):
     """ROADMAP item 9 resolution: with viscous_form="laplacian" (the
     open-boundary viscous consistency term vanishes, so the momentum
