@@ -134,6 +134,42 @@ def test():
     if interactively:
         solver2.plot()
 
+    # IPCS segregated transient (the reference embeds this scheme as a
+    # standalone dolfin script in THIS example, ``:144-281``: tentative
+    # velocity / pressure Poisson / velocity projection with per-step
+    # PETSc solves).  Here the whole transient is ONE lax.scan device
+    # program (fast_paths.compile_transient_ns_ipcs).  Impulsive start at
+    # the steady benchmark's Re=20: the segregated scheme must settle to
+    # the SAME drag the monolithic Newton solve found above.
+    from fenicssolver_tpu.solvers import fast_paths
+
+    s3 = make_settings(12, transient=False, circle_pts=24, nu=NU_DFG)
+    solver3 = CoupledNavierStokesSolver(s3)
+    up3 = solver3.solve()
+    drag3, _ = solver3.calc_drag_and_lift(up3, 0, 1, [4])
+    run, aux = fast_paths.compile_transient_ns_ipcs(
+        solver3, dt=0.004, n_steps=500, tol=1e-8
+    )
+    V, Q = aux["V"], aux["Q"]
+    (u_t, p_t), norms = run(np.zeros(V.ndof), np.zeros(Q.ndof))
+    n = np.asarray(norms)
+    assert np.isfinite(n).all()
+    # settling (measured at res=16: settle 4e-3 and drag +0.17% at T=2,
+    # +0.00% by T=5 — the example keeps T=2 for suite budget)
+    assert abs(n[-1] - n[-100]) / n[-1] < 2e-2
+    # drag agreement between the segregated steady state and the
+    # monolithic Newton solution on the SAME mesh (velocity lives on the
+    # standalone P2 space; reuse the mixed-space postproc by embedding)
+    from fenicssolver_tpu.core.function import Function
+
+    W3 = solver3.function_space
+    up_ipcs = Function(W3)
+    up_ipcs.values[W3.slice_of(0)] = np.asarray(u_t)
+    up_ipcs.values[W3.slice_of(1)] = np.asarray(p_t)
+    drag_i, _ = solver3.calc_drag_and_lift(up_ipcs, 0, 1, [4])
+    print(f"IPCS settled drag = {drag_i:.5g} (monolithic {drag3:.5g})")
+    assert abs(drag_i - drag3) / abs(drag3) < 0.01
+
 
 if __name__ == "__main__":
     test()
