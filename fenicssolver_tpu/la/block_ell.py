@@ -133,10 +133,18 @@ def block_ell_from_csr(A, n=None, perm=None):
         indptr, indices, take = permuted_csr_pattern(indptr, indices, perm)
         data = data[jnp.asarray(take)]
     K, nrb, col_blocks, pos = build_block_ell(indptr, indices, n)
+    # tile fill as a SORTED UNIQUE scatter-set: ``pos`` is injective (one
+    # slot per CSR entry) and static, so the sort happens ONCE on host and
+    # the device op is a linear write.  The naive ``.at[pos].add(data)``
+    # lowers on TPU to a sort-based combining scatter whose scratch is a
+    # multiple of the PADDED tile array — measured 11.6 GB (HBM OOM) for a
+    # 645 MB tile set at 180k P2 velocity dofs.
+    order = np.argsort(pos, kind="stable")
     tiles = (
         jnp.zeros(K * nrb * BR * BC, dtype=data.dtype)
-        .at[jnp.asarray(pos)]
-        .add(data)
+        .at[jnp.asarray(pos[order])]
+        .set(data[jnp.asarray(order)], indices_are_sorted=True,
+             unique_indices=True)
         .reshape(K, nrb, BR, BC)
     )
     return BlockELL(tiles=tiles, col_blocks=jnp.asarray(col_blocks), n=n,

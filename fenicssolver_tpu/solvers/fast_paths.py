@@ -413,17 +413,58 @@ def compile_transient_ns_ipcs(
         "qkt,ctg->cqkg", jnp.asarray(tab_p.dphi), ctx.Jinv
     )
     wdet = jnp.asarray(tab_v.qw)[None, :] * ctx.detJ[:, None]  # (nc, nq)
-    sc_dofs = jnp.asarray(Vv.scalar_space.cell_dofs)      # (nc, kv)
-    vdofs = jnp.asarray(Vv.cell_dofs)                     # (nc, kv*d)
-    pdofs = jnp.asarray(Q.cell_dofs)                      # (nc, kp)
     kv = phi_v.shape[1]
     kp = phi_p.shape[1]
+
+    # ---- bandwidth ordering (pick-best RCM, ROADMAP item 4) --------------
+    # On unstructured (Delaunay) numberings the 8x128 block-ELL fill K of
+    # the P2 velocity operators explodes (measured: HBM OOM at 200k mixed
+    # dofs on a 16-GB chip).  The whole scan therefore runs in permuted
+    # space: V gets a NODE-level RCM from its scalar pattern (preserving
+    # the node-major component interleaving the RHS kernels rely on), Q
+    # its own dof-level RCM; u0/p0 permute on entry, results unpermute on
+    # exit — same convention as ``compile_transient_heat``.
+    from ..la.sparse_algebra import bandwidth_ordering
+
+    sc_np = np.asarray(Vv.scalar_space.cell_dofs)
+    v_np = np.asarray(Vv.cell_dofs)
+    p_np = np.asarray(Q.cell_dofs)
+    nn = Vv.scalar_space.ndof
+    pat_n, _ = build_pattern([sc_np], nn)
+    perm_n, _K = bandwidth_ordering(
+        np.asarray(pat_n.indptr), np.asarray(pat_n.indices), nn
+    )
+    if perm_n is not None:
+        inv_n = np.argsort(perm_n)
+        sc_np = inv_n[sc_np]
+        vperm = (np.asarray(perm_n)[:, None] * d + np.arange(d)).reshape(-1)
+        inv_v = np.argsort(vperm)
+        v_np = inv_v[v_np]
+    else:
+        vperm = inv_v = None
+    pat_q0, _ = build_pattern([p_np], Q.ndof)
+    perm_p, _K = bandwidth_ordering(
+        np.asarray(pat_q0.indptr), np.asarray(pat_q0.indices), Q.ndof
+    )
+    if perm_p is not None:
+        inv_p = np.argsort(perm_p)
+        p_np = inv_p[p_np]
+    else:
+        inv_p = None
+    if vperm is not None:
+        free_v, ubc_v = free_v[jnp.asarray(vperm)], ubc_v[jnp.asarray(vperm)]
+    if perm_p is not None:
+        free_p, pbc = free_p[jnp.asarray(perm_p)], pbc[jnp.asarray(perm_p)]
+
+    sc_dofs = jnp.asarray(sc_np)                          # (nc, kv)
+    vdofs = jnp.asarray(v_np)                             # (nc, kv*d)
+    pdofs = jnp.asarray(p_np)                             # (nc, kp)
 
     f_q = _ipcs_body_force(solver, ctx, d, Expression, Constant)
 
     # ---- constant operators ----------------------------------------------
     # A1 = rho/dt M + mu eps:eps - mu/2 (grad(u) n).v ds|open
-    pat_v, (pos_v,) = build_pattern([np.asarray(Vv.cell_dofs)], Vv.ndof)
+    pat_v, (pos_v,) = build_pattern([v_np], Vv.ndof)
     I_d = jnp.eye(d)
     gg = jnp.einsum("cq,cqag,cqbg->cab", wdet, dphig_v, dphig_v)
     cross = jnp.einsum("cq,cqaj,cqbi->caibj", wdet, dphig_v, dphig_v)
@@ -479,7 +520,7 @@ def compile_transient_ns_ipcs(
     A3 = CSRMatrix(pattern=pat_v, data=A3_data)
 
     # A2: pressure Laplacian
-    pat_p, (pos_p,) = build_pattern([np.asarray(Q.cell_dofs)], Q.ndof)
+    pat_p, (pos_p,) = build_pattern([p_np], Q.ndof)
     Ke2 = jnp.einsum("cq,cqag,cqbg->cab", wdet, dphig_p, dphig_p)
     A2 = CSRMatrix(
         pattern=pat_p,
@@ -533,6 +574,12 @@ def compile_transient_ns_ipcs(
     )
     if f_q is not None:
         P0["f_q"] = f_q
+    if vperm is not None:
+        P0["vperm"] = jnp.asarray(vperm)
+        P0["inv_v"] = jnp.asarray(inv_v)
+    if perm_p is not None:
+        P0["pperm"] = jnp.asarray(perm_p)
+        P0["inv_p"] = jnp.asarray(inv_p)
     if have_open:
         P0.update(
             sc_dofs_f=sc_dofs_f, vdofs_f=vdofs_f, pdofs_f=pdofs_f,
@@ -574,8 +621,14 @@ def compile_transient_ns_ipcs(
         def op3(x):
             return free_v * A3b.matvec(free_v * x) + (1 - free_v) * x
 
-        u0 = free_v * jnp.asarray(u0, dtype=dtype) + (1 - free_v) * ubc_v
-        p0 = free_p * jnp.asarray(p0, dtype=dtype) + (1 - free_p) * pbc
+        u0 = jnp.asarray(u0, dtype=dtype)
+        p0 = jnp.asarray(p0, dtype=dtype)
+        if "vperm" in P:  # natural -> permuted space (once per run)
+            u0 = u0[P["vperm"]]
+        if "pperm" in P:
+            p0 = p0[P["pperm"]]
+        u0 = free_v * u0 + (1 - free_v) * ubc_v
+        p0 = free_p * p0 + (1 - free_p) * pbc
 
         def step(carry, _):
             u_n, p_n = carry
@@ -651,6 +704,10 @@ def compile_transient_ns_ipcs(
             return (u_new, p_new), jnp.linalg.norm(u_new)
 
         (uf, pf), norms = jax.lax.scan(step, (u0, p0), None, length=n_steps)
+        if "vperm" in P:  # back to natural order (norms are invariant)
+            uf = uf[P["inv_v"]]
+        if "pperm" in P:
+            pf = pf[P["inv_p"]]
         return (uf, pf), norms
 
     def run(u0, p0):
