@@ -255,13 +255,18 @@ class AMGPreconditioner:
                 K, nrb, col_blocks, pos = build_block_ell(
                     A.indptr, A.indices, A.shape[0]
                 )
-                data = jnp.asarray(A.data)
-                mb = K * nrb * BR * BC * data.dtype.itemsize / 1e6
+                mb = K * nrb * BR * BC * A.data.dtype.itemsize / 1e6
                 if mb <= bell_budget_mb:
+                    # sorted unique scatter-set: pos is injective and host-
+                    # static; the naive .at[pos].add lowers to a sort-based
+                    # combining scatter with scratch ~ the PADDED tile array
+                    # (see block_ell_from_csr)
+                    order = np.argsort(pos, kind="stable")
                     tiles = (
-                        jnp.zeros(K * nrb * BR * BC, dtype=data.dtype)
-                        .at[jnp.asarray(pos)]
-                        .add(data)
+                        jnp.zeros(K * nrb * BR * BC, dtype=A.data.dtype)
+                        .at[jnp.asarray(pos[order])]
+                        .set(jnp.asarray(A.data[order]),
+                             indices_are_sorted=True, unique_indices=True)
                         .reshape(K, nrb, BR, BC)
                     )
                     A_dev = BlockELL(

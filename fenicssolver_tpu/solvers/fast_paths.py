@@ -337,7 +337,8 @@ def compile_transient_elasticity_dynamics(
 
 def compile_transient_ns_ipcs(
     solver, dt, n_steps, tol=1e-9, maxiter_v=200, maxiter_p=600,
-    maxiter_m=100, dtype=None, pressure_amg=True,
+    maxiter_m=100, dtype=None, pressure_amg=True, matrix_free_mass=False,
+    report_iters=False,
 ):
     """Jitted IPCS (incremental pressure-correction) segregated transient
     Navier-Stokes: the scheme the reference embeds as a standalone script
@@ -373,6 +374,21 @@ def compile_transient_ns_ipcs(
     advances ``n_steps`` on device; ``u`` lives on the standalone
     velocity space ``aux["V"]`` (interleaved components), ``p`` on
     ``aux["Q"]``.
+
+    ``matrix_free_mass=True`` solves the step-3 CONSISTENT-mass
+    projection with a matrix-free operator (one per-element einsum pass,
+    the same machinery as the RHS assembly) instead of block-ELL tiles —
+    identical accuracy, but NO padded A3 tile array in HBM (692 MB at
+    177k P2 dofs).  The mass matrix is uniformly well-conditioned under
+    its diagonal, and with ``x0 = u*`` the O(dt) correction converges in
+    a handful of iterations, so the extra matvec cost is small.  (A fully
+    explicit HRZ-lumped projection was measured and rejected: it leaves a
+    3.4% steady-state defect on the 16x16 Poiseuille startup — the
+    lumping inconsistency feeds back through the step-2 divergence
+    residual into a persistent nonzero pressure increment.)
+    ``report_iters=True`` makes the per-step output a tuple
+    ``(norm, k_velocity, k_pressure, k_projection)`` of Krylov iteration
+    counts.
     """
     from ..la import krylov
     from ..la.amg import AMGPreconditioner
@@ -404,15 +420,22 @@ def compile_transient_ns_ipcs(
     tab_v = geometry.basis_tables(mesh.tdim, vd, qdeg)
     tab_p = geometry.basis_tables(mesh.tdim, pd, qdeg)
     ctx = geometry.build_cell_context(Vv.scalar_space, qdeg)
-    phi_v = jnp.asarray(tab_v.phi)                       # (nq, kv)
-    phi_p = jnp.asarray(tab_p.phi)                       # (nq, kp)
+    # every step-time table is cast to ``dtype`` HERE: under the examples'
+    # jax_enable_x64 the geometry context is f64, and one f64 operand
+    # promotes the whole scan (measured on the real TPU: X64SplitHigh
+    # doubles every tile/table array and f64-emulated einsums blow the
+    # 200k-dof IPCS program from ~5 GB to 19.5 GB -> HBM OOM)
+    phi_v = jnp.asarray(tab_v.phi, dtype=dtype)          # (nq, kv)
+    phi_p = jnp.asarray(tab_p.phi, dtype=dtype)          # (nq, kp)
     dphig_v = jnp.einsum(
         "qkt,ctg->cqkg", jnp.asarray(tab_v.dphi), ctx.Jinv
-    )
+    ).astype(dtype)
     dphig_p = jnp.einsum(
         "qkt,ctg->cqkg", jnp.asarray(tab_p.dphi), ctx.Jinv
-    )
-    wdet = jnp.asarray(tab_v.qw)[None, :] * ctx.detJ[:, None]  # (nc, nq)
+    ).astype(dtype)
+    wdet = (
+        jnp.asarray(tab_v.qw)[None, :] * ctx.detJ[:, None]
+    ).astype(dtype)                                       # (nc, nq)
     kv = phi_v.shape[1]
     kp = phi_p.shape[1]
 
@@ -490,13 +513,15 @@ def compile_transient_ns_ipcs(
         )
         fphi_p_t, _, _, _ = geometry.facet_basis_tables(mesh.tdim, pd, qdeg_f)
         lid = fctx.local_id
-        fphi_v = jnp.asarray(fphi_v_t)[lid]              # (nf, nq, kv)
-        fphi_p = jnp.asarray(fphi_p_t)[lid]              # (nf, nq, kp)
+        fphi_v = jnp.asarray(fphi_v_t, dtype=dtype)[lid]  # (nf, nq, kv)
+        fphi_p = jnp.asarray(fphi_p_t, dtype=dtype)[lid]  # (nf, nq, kp)
         fdphig_v = jnp.einsum(
             "fqkt,ftg->fqkg", jnp.asarray(fdphi_v_t)[lid], fctx.Jinv
-        )
-        wdetF = jnp.asarray(fw)[None, :] * fctx.detF[:, None]
-        nrm = fctx.normal                                 # (nf, d)
+        ).astype(dtype)
+        wdetF = (
+            jnp.asarray(fw)[None, :] * fctx.detF[:, None]
+        ).astype(dtype)
+        nrm = jnp.asarray(fctx.normal, dtype=dtype)       # (nf, d)
         cells_f = fctx.cells
         sc_dofs_f = sc_dofs[cells_f]                      # (nf, kv)
         vdofs_f = vdofs[cells_f]                          # (nf, kv*d)
@@ -531,17 +556,34 @@ def compile_transient_ns_ipcs(
 
     A1_bell = block_ell_from_csr(A1)
     A2_bell = block_ell_from_csr(A2)
-    A3_bell = block_ell_from_csr(A3)
+    A3_bell = None if matrix_free_mass else block_ell_from_csr(A3)
 
     # tiles-stripped structures for the jit closure (see P0 note below)
     A1_meta = A1_bell._replace(tiles=None)
     A2_meta = A2_bell._replace(tiles=None)
-    A3_meta = A3_bell._replace(tiles=None)
+    A3_meta = None if matrix_free_mass else A3_bell._replace(tiles=None)
+
+    def _mass_mv(x):
+        """Matrix-free consistent velocity-mass matvec: gather element
+        coefficients, evaluate at quadrature, weigh back against test
+        functions, scatter-add — one pass of the same einsum machinery
+        the per-step RHS assembly uses, so no A3 tiles ever materialize.
+        Operates in the (RCM-)permuted space like everything else."""
+        Xe = x.reshape(-1, d)[sc_dofs]                     # (nc, kv, d)
+        xq = jnp.einsum("qk,ckv->cqv", phi_v, Xe)
+        re = jnp.einsum("cq,qa,cqi->cai", wdet, phi_v, xq)
+        return jnp.zeros(Vv.ndof, dtype=dtype).at[vdofs.reshape(-1)].add(
+            re.reshape(-1)
+        )
 
     # constraint lifts (BC values are time-constant inside the scan)
     l1 = A1_bell.matvec((1 - free_v) * ubc_v)
     l2 = A2_bell.matvec((1 - free_p) * pbc)
-    l3 = A3_bell.matvec((1 - free_v) * ubc_v)
+    l3 = (
+        _mass_mv((1 - free_v) * ubc_v)
+        if matrix_free_mass
+        else A3_bell.matvec((1 - free_v) * ubc_v)
+    )
 
     d1 = free_v * A1.diagonal() + (1 - free_v)
     inv_d1 = jnp.where(jnp.abs(d1) > 1e-300, 1.0 / d1, 1.0)
@@ -566,14 +608,15 @@ def compile_transient_ns_ipcs(
     # host-only-setup children).  Small per-qp tables stay in closure.
     P0 = dict(
         A1_tiles=A1_bell.tiles, A2_tiles=A2_bell.tiles,
-        A3_tiles=A3_bell.tiles,
         l1=l1, l2=l2, l3=l3, inv_d1=inv_d1, inv_d3=inv_d3,
         free_v=free_v, ubc_v=ubc_v, free_p=free_p, pbc=pbc,
         dphig_v=dphig_v, dphig_p=dphig_p, wdet=wdet,
         sc_dofs=sc_dofs, vdofs=vdofs, pdofs=pdofs,
     )
+    if not matrix_free_mass:
+        P0["A3_tiles"] = A3_bell.tiles
     if f_q is not None:
-        P0["f_q"] = f_q
+        P0["f_q"] = jnp.asarray(f_q, dtype=dtype)
     if vperm is not None:
         P0["vperm"] = jnp.asarray(vperm)
         P0["inv_v"] = jnp.asarray(inv_v)
@@ -610,7 +653,6 @@ def compile_transient_ns_ipcs(
         # closure-held structure; int metadata must stay static for shapes
         A1b = A1_meta._replace(tiles=P["A1_tiles"])
         A2b = A2_meta._replace(tiles=P["A2_tiles"])
-        A3b = A3_meta._replace(tiles=P["A3_tiles"])
 
         def op1(x):
             return free_v * A1b.matvec(free_v * x) + (1 - free_v) * x
@@ -618,8 +660,23 @@ def compile_transient_ns_ipcs(
         def op2(x):
             return free_p * A2b.matvec(free_p * x) + (1 - free_p) * x
 
-        def op3(x):
-            return free_v * A3b.matvec(free_v * x) + (1 - free_v) * x
+        if matrix_free_mass:
+
+            def op3(x):
+                xf = free_v * x
+                Xe = xf.reshape(-1, d)[sc_dofs]           # (nc, kv, d)
+                xq = jnp.einsum("qk,ckv->cqv", phi_v, Xe)
+                re = jnp.einsum("cq,qa,cqi->cai", wdet, phi_v, xq)
+                y = jnp.zeros(Vv.ndof, dtype=dtype).at[
+                    vdofs.reshape(-1)
+                ].add(re.reshape(-1))
+                return free_v * y + (1 - free_v) * x
+
+        else:
+            A3b = A3_meta._replace(tiles=P["A3_tiles"])
+
+            def op3(x):
+                return free_v * A3b.matvec(free_v * x) + (1 - free_v) * x
 
         u0 = jnp.asarray(u0, dtype=dtype)
         p0 = jnp.asarray(p0, dtype=dtype)
@@ -665,7 +722,7 @@ def compile_transient_ns_ipcs(
                 )
                 b1 = b1.at[vdofs_f.reshape(-1)].add(r1f.reshape(-1))
             rhs1 = free_v * (b1 - l1) + (1 - free_v) * ubc_v
-            u_t, _, _ = krylov.bicgstab(
+            u_t, k1, _ = krylov.bicgstab(
                 op1, rhs1, x0=u_n, M=lambda r: inv_d1 * r, tol=tol,
                 maxiter=maxiter_v,
             )
@@ -682,7 +739,7 @@ def compile_transient_ns_ipcs(
                 r2e.reshape(-1)
             )
             rhs2 = free_p * (b2 - l2) + (1 - free_p) * pbc
-            p_new, _, _ = krylov.cg(
+            p_new, k2, _ = krylov.cg(
                 op2, rhs2, x0=p_n, M=M2, tol=tol, maxiter=maxiter_p
             )
 
@@ -693,15 +750,18 @@ def compile_transient_ns_ipcs(
             r3e = jnp.einsum(
                 "cq,qa,cqi->cai", wdet, phi_v, u_tq - (dt / rho) * gdp
             )
-            b3 = jnp.zeros(Vv.ndof, dtype=dtype).at[vdofs.reshape(-1)].add(
-                r3e.reshape(-1)
-            )
+            b3 = jnp.zeros(Vv.ndof, dtype=dtype).at[
+                vdofs.reshape(-1)
+            ].add(r3e.reshape(-1))
             rhs3 = free_v * (b3 - l3) + (1 - free_v) * ubc_v
-            u_new, _, _ = krylov.cg(
+            u_new, k3, _ = krylov.cg(
                 op3, rhs3, x0=u_t, M=lambda r: inv_d3 * r, tol=tol,
                 maxiter=maxiter_m,
             )
-            return (u_new, p_new), jnp.linalg.norm(u_new)
+            y = jnp.linalg.norm(u_new)
+            if report_iters:
+                return (u_new, p_new), (y, k1, k2, k3)
+            return (u_new, p_new), y
 
         (uf, pf), norms = jax.lax.scan(step, (u0, p0), None, length=n_steps)
         if "vperm" in P:  # back to natural order (norms are invariant)
@@ -712,6 +772,8 @@ def compile_transient_ns_ipcs(
 
     def run(u0, p0):
         return _run(u0, p0, P0)
+
+    run._p0 = P0  # exposed for dtype-audit tests
 
     return run, dict(
         V=Vv, Q=Q, free_v=free_v, ubc_v=ubc_v, free_p=free_p, pbc=pbc,

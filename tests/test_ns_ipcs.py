@@ -69,6 +69,80 @@ def test_ipcs_poiseuille_startup():
     assert abs(n[-1] - n[-10]) / n[-1] < 1e-4
 
 
+def test_ipcs_f32_request_stays_f32_under_x64():
+    """``dtype=float32`` must hold through the WHOLE scan even with
+    jax_enable_x64 on (the examples' config): one f64 quadrature table or
+    AMG level promotes every einsum and tile array to f64, which on the
+    real TPU is stored X64-split (2x memory) and software-emulated —
+    measured 19.5 GB vs ~5 GB at 200k dofs (HBM OOM on the 16 GB chip).
+    Asserts every traced-argument leaf and both outputs are f32, and the
+    result still converges toward Poiseuille."""
+    import jax
+    import jax.numpy as jnp
+
+    solver = CoupledNavierStokesSolver(channel_settings(nx=16, ny=16))
+    run, aux = fast_paths.compile_transient_ns_ipcs(
+        solver, dt=0.05, n_steps=60, tol=1e-6, dtype=jnp.float32
+    )
+    V, Q = aux["V"], aux["Q"]
+    # every floating leaf of the traced-argument pytree must be f32 (an
+    # f64 leaf is exactly the promotion hazard)
+    for key, leaf in jax.tree_util.tree_leaves_with_path(run._p0):
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            assert jnp.asarray(leaf).dtype == jnp.float32, key
+    (u, p), norms = run(np.zeros(V.ndof, np.float32),
+                        np.zeros(Q.ndof, np.float32))
+    assert np.asarray(u).dtype == np.float32
+    assert np.asarray(p).dtype == np.float32
+    assert np.asarray(norms).dtype == np.float32
+    u = np.asarray(u).reshape(-1, 2)
+    uex, _ = _exact(V, Q)
+    uex = uex.reshape(-1, 2)
+    umax = np.max(np.abs(uex[:, 0]))
+    # 60 steps of startup: not converged, but clearly flowing (>60% of
+    # the exact centreline) and finite — f32 arithmetic sanity
+    assert np.isfinite(u).all()
+    assert np.max(u[:, 0]) > 0.6 * umax
+
+
+def test_ipcs_matrix_free_projection():
+    """``matrix_free_mass=True`` solves the step-3 CONSISTENT-mass
+    projection with the element-einsum operator instead of block-ELL
+    tiles — must (a) keep the exact Poiseuille state a fixed point,
+    (b) converge the startup to the same steady state as the tiled
+    solve (identical accuracy: it is the same linear system), and
+    (c) hold NO A3 tile array in the traced-argument pytree.  (A fully
+    explicit HRZ-lumped projection was measured here and rejected:
+    3.4% steady-state defect on this very startup.)"""
+    solver = CoupledNavierStokesSolver(channel_settings(nx=8, ny=8))
+    run, aux = fast_paths.compile_transient_ns_ipcs(
+        solver, dt=0.05, n_steps=1, matrix_free_mass=True
+    )
+    assert "A3_tiles" not in run._p0
+    u0, p0 = _exact(aux["V"], aux["Q"])
+    (u, p), _ = run(u0, p0)
+    assert np.max(np.abs(np.asarray(u) - u0)) < 1e-8
+    assert np.max(np.abs(np.asarray(p) - p0)) < 1e-8
+
+    solver = CoupledNavierStokesSolver(channel_settings(nx=16, ny=16))
+    run, aux = fast_paths.compile_transient_ns_ipcs(
+        solver, dt=0.05, n_steps=200, matrix_free_mass=True,
+        report_iters=True,
+    )
+    V, Q = aux["V"], aux["Q"]
+    (u, p), (norms, k1, k2, k3) = run(np.zeros(V.ndof), np.zeros(Q.ndof))
+    u = np.asarray(u).reshape(-1, 2)
+    uex, _ = _exact(V, Q)
+    uex = uex.reshape(-1, 2)
+    umax = np.max(np.abs(uex[:, 0]))
+    assert np.max(np.abs(u[:, 0] - uex[:, 0])) / umax < 5e-4
+    assert np.max(np.abs(u[:, 1])) / umax < 2e-3
+    # all three Krylov solves actually iterated
+    assert int(np.max(np.asarray(k3))) > 0
+    assert int(np.max(np.asarray(k1))) > 0
+    assert int(np.max(np.asarray(k2))) > 0
+
+
 def test_ipcs_weak_divergence():
     """The projected velocity is discretely solenoidal: the weak
     divergence residual int div(u) q_a against every pressure test
