@@ -126,6 +126,7 @@ class AMGPreconditioner:
         free_mask=None,
         spmv="bell",
         bell_budget_mb=512.0,
+        dtype=None,
     ):
         """``free_mask``: 0/1 per dof; constrained (identity) rows are
         excluded from the hierarchy — they would otherwise persist as
@@ -136,6 +137,15 @@ class AMGPreconditioner:
         (8,128) lanes instead of scalar gathers — the TPU hot-path format —
         falling back to CSR per level once ``bell_budget_mb`` of tile
         memory is spent (fill-in is 10-25x CSR).
+
+        ``dtype``: storage dtype of every DEVICE array (level operators,
+        transfers, Chebyshev scalings, coarse inverse); defaults to the
+        input matrix's dtype.  The host-side setup math (strength,
+        prolongator smoothing, RAP, pinv) always runs in f64 — but an
+        f32 solve must get an f32 V-cycle: one f64 level array promotes
+        the whole preconditioner application, which on TPU means
+        X64-split emulation (2x memory, many-x slower) inside every
+        Krylov iteration.
 
         The BUILD path is scipy-free (VERDICT r2 item 7): all sparse
         products (smoothed prolongator, Galerkin RAP, transposes,
@@ -157,6 +167,9 @@ class AMGPreconditioner:
 
         self.presmooth = presmooth
         self.postsmooth = postsmooth
+        self._dtype = np.dtype(
+            dtype if dtype is not None else A_scipy.data.dtype
+        )
         A_full = (
             A_scipy
             if isinstance(A_scipy, HostCSR)
@@ -255,7 +268,7 @@ class AMGPreconditioner:
                 K, nrb, col_blocks, pos = build_block_ell(
                     A.indptr, A.indices, A.shape[0]
                 )
-                mb = K * nrb * BR * BC * A.data.dtype.itemsize / 1e6
+                mb = K * nrb * BR * BC * self._dtype.itemsize / 1e6
                 if mb <= bell_budget_mb:
                     # sorted unique scatter-set: pos is injective and host-
                     # static; the naive .at[pos].add lowers to a sort-based
@@ -263,9 +276,9 @@ class AMGPreconditioner:
                     # (see block_ell_from_csr)
                     order = np.argsort(pos, kind="stable")
                     tiles = (
-                        jnp.zeros(K * nrb * BR * BC, dtype=A.data.dtype)
+                        jnp.zeros(K * nrb * BR * BC, dtype=self._dtype)
                         .at[jnp.asarray(pos[order])]
-                        .set(jnp.asarray(A.data[order]),
+                        .set(jnp.asarray(A.data[order].astype(self._dtype)),
                              indices_are_sorted=True, unique_indices=True)
                         .reshape(K, nrb, BR, BC)
                     )
@@ -277,13 +290,18 @@ class AMGPreconditioner:
                     bell_budget_mb -= mb
             if A_dev is None:
                 A_dev = csr_from_scipy(A)
+                A_dev = A_dev._replace(data=A_dev.data.astype(self._dtype))
             _l1 = _l1_row_sums(A)
+            P_dev = csr_from_scipy_rect(P)
+            R_dev = csr_from_scipy_rect(sp_transpose(P))
             levels.append(
                 dict(
                     A=A_dev,
-                    diag=jnp.asarray(np.maximum(A.diagonal(), 1e-300)),
-                    P=csr_from_scipy_rect(P),
-                    R=csr_from_scipy_rect(sp_transpose(P)),
+                    diag=jnp.asarray(
+                        np.maximum(A.diagonal(), 1e-300).astype(self._dtype)
+                    ),
+                    P=P_dev._replace(data=P_dev.data.astype(self._dtype)),
+                    R=R_dev._replace(data=R_dev.data.astype(self._dtype)),
                     # Chebyshev smoothing on the l1-scaled operator (hypre's
                     # l1-scaling + Chebyshev): row-wise |A| sums guarantee
                     # lam(L1^-1 A) <= 2 by Gershgorin, so smoothing NEVER
@@ -295,7 +313,7 @@ class AMGPreconditioner:
                     # interval; Chebyshev beats Jacobi decisively on the
                     # P2 discretizations where Jacobi smoothing contracts
                     # at only ~0.7/cycle.
-                    l1=jnp.asarray(_l1),
+                    l1=jnp.asarray(_l1.astype(self._dtype)),
                     lam1=_estimate_l1_lam(A, _l1),
                 )
             )
@@ -305,7 +323,7 @@ class AMGPreconditioner:
                 break
         if A.shape[0] <= max(coarse_size * 10, 4000):
             self.coarse_dense = jnp.asarray(
-                np.linalg.pinv(A.toarray())
+                np.linalg.pinv(A.toarray()).astype(self._dtype)
             )  # pinv: robust to the singular all-Neumann coarse limit
             self._coarse_cheb = None
         else:
@@ -315,20 +333,22 @@ class AMGPreconditioner:
             # a preconditioner needs spectral equivalence, not exactness)
             self.coarse_dense = None
             _l1c = _l1_row_sums(A)
+            Ac_dev = csr_from_scipy(A)
             self._coarse_cheb = dict(
-                A=csr_from_scipy(A),
-                l1=jnp.asarray(_l1c),
+                A=Ac_dev._replace(data=Ac_dev.data.astype(self._dtype)),
+                l1=jnp.asarray(_l1c.astype(self._dtype)),
                 lam1=_estimate_l1_lam(A, _l1c),
             )
         self.levels = levels
 
     def __call__(self, b):
         if self._free_idx is None:
-            return self._vcycle(0, b)
+            return self._vcycle(0, b).astype(b.dtype)
         bf = b[self._free_idx]
         xf = self._vcycle(0, bf)
-        # identity on constrained dofs
-        out = b.at[self._free_idx].set(xf)
+        # identity on constrained dofs (astype: never promote the caller's
+        # Krylov vectors, whatever dtype the hierarchy holds)
+        out = b.at[self._free_idx].set(xf.astype(b.dtype))
         return out
 
     def _vcycle(self, li, b):

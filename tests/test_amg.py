@@ -160,3 +160,46 @@ def test_amg_routing_from_solver_parameters():
         T_ref.values
     )
     assert err < 1e-7, err
+
+
+def test_amg_f32_hierarchy_stays_f32():
+    """An f32 operator must get an f32 V-cycle: one f64 level array
+    promotes every Krylov iteration's preconditioner application, which
+    on TPU means X64-split emulation (2x memory, many-x slower) inside
+    the IPCS scan.  Host setup math stays f64; only the DEVICE arrays
+    are cast.  Also pins that f32 AMG-PCG still converges."""
+    A, b, dd = _poisson_system(10)
+    Ac = assembly.constrain_csr(A, dd.free_mask)
+    sp32 = Ac.to_scipy().astype(np.float32)
+    amg = AMGPreconditioner(sp32, free_mask=np.asarray(dd.free_mask))
+
+    def leaf_dtypes(obj):
+        for name in ("tiles", "data"):
+            if hasattr(obj, name):
+                return [getattr(obj, name).dtype]
+        if isinstance(obj, dict):
+            return [d for v in obj.values() for d in leaf_dtypes(v)]
+        if hasattr(obj, "dtype"):
+            return [obj.dtype]
+        return []
+
+    dts = [d for lv in amg.levels for d in leaf_dtypes(lv)]
+    if amg.coarse_dense is not None:
+        dts.append(amg.coarse_dense.dtype)
+    if amg._coarse_cheb is not None:
+        dts += leaf_dtypes(amg._coarse_cheb)
+    assert dts and all(d == np.float32 for d in dts), dts
+
+    z = amg(jnp.ones(A.shape[0], jnp.float32))
+    assert z.dtype == jnp.float32
+
+    rhs = assembly.constrained_rhs(
+        A.matvec, b, dd.free_mask, dd.u_bc
+    ).astype(jnp.float32)
+    Ac32 = Ac._replace(data=Ac.data.astype(jnp.float32))
+    x, it, res = krylov.cg(
+        Ac32.matvec, rhs, M=amg, tol=1e-5, maxiter=100
+    )
+    assert x.dtype == jnp.float32
+    assert float(res) < 1e-5 * float(jnp.linalg.norm(rhs)) * 10
+    assert int(it) < 40
