@@ -17,6 +17,14 @@ viscosity nu(p, T) (``:194-213``), and the post-processing surface:
 ``viscous_heat`` (``:149-192``, with the reference's bugs fixed — it used
 kinematic viscosity in the stress and an undefined ``self.ds``).
 
+BEYOND PARITY: optional Smagorinsky LES eddy viscosity via
+``turbulence_settings = {"model": "Smagorinsky", "Cs": 0.17}`` — the
+reference is laminar-only (turbulence is future work in its Readme).
+``nu_t = (Cs * V_e^(1/d))^2 * sqrt(2 eps:eps)`` is traced through the cell
+kernel, so the Newton tangent is consistent automatically; boundary
+viscous closures and stabilization parameters keep the molecular ``nu``
+(documented simplification — no wall-damping model).
+
 The optional temperature sub-form is built directly into the mixed residual
 (advection-diffusion with the traced velocity) rather than by instantiating a
 ScalarTransportSolver on a subspace (reference ``:247-286``): with numeric
@@ -186,6 +194,34 @@ class CoupledNavierStokesSolver(SolverBase):
         )
         self._laplacian_form = laplacian_form
 
+        # BEYOND PARITY: Smagorinsky LES eddy viscosity (the reference is
+        # laminar-only — its Readme lists turbulence as future work).
+        # nu_t = (Cs * Delta_e)^2 * |S|, |S| = sqrt(2 eps:eps), with the
+        # filter width Delta_e = V_e^(1/d) from the element volume.  The
+        # eddy viscosity is a traced function of grad(u), so Newton's
+        # per-element jacfwd produces the CONSISTENT tangent automatically
+        # (no frozen-nu_t Picard lag).  Volume term only: the open-boundary
+        # viscous closures and the G2/SUPG stabilization parameters keep
+        # the molecular nu (standard practice absent a wall model; a
+        # near-wall damping model is out of scope and documented here).
+        les_cs = None
+        tset = self.settings.get("turbulence_settings")
+        if tset:
+            tmodel = str(tset.get("model", "")).lower()
+            if tmodel in ("smagorinsky", "les", "les_smagorinsky"):
+                les_cs = float(tset.get("Cs", 0.17))
+                if les_cs == 0.0:
+                    les_cs = None
+            elif tmodel not in ("", "none", "laminar"):
+                raise SolverError(
+                    f"turbulence_settings model `{tset.get('model')}` "
+                    "unsupported (Smagorinsky | laminar)"
+                )
+        # element volume = detJ * reference-simplex volume (affine cells)
+        ref_vol = 0.5 if mesh.tdim == 2 else (1.0 / 6.0)
+        inv_tdim = 1.0 / mesh.tdim
+        nu_varying = nu_nonlinear or (les_cs is not None)
+
         # body force only when configured (reference guard ``:318``; its
         # default-gravity helper ``:118-127`` is otherwise unused)
         body = None
@@ -261,6 +297,14 @@ class CoupledNavierStokesSolver(SolverBase):
                 nu_q = nu_spec(p_q, T_q)  # (nq,)
             else:
                 nu_q = nu_spec
+            if les_cs is not None:
+                # |S| = sqrt(2 eps:eps); the max(.., floor) clamps the
+                # sqrt's infinite slope at eps = 0 (the subgradient there
+                # is taken as 0, keeping the Newton tangent finite)
+                ss = 2.0 * jnp.einsum("qvg,qvg->q", eps, eps)
+                smag = jnp.sqrt(jnp.maximum(ss, 1e-24))
+                delta = (geom.detJ * ref_vol) ** inv_tdim
+                nu_q = nu_q + (les_cs * delta) ** 2 * smag  # (nq,)
 
             # advection velocity: traced u (Newton) or frozen u0 (Picard)
             if newton:
@@ -278,9 +322,9 @@ class CoupledNavierStokesSolver(SolverBase):
             # whose momentum block is COERCIVE, see _add_pressure_boundary_term)
             if laplacian_form:
                 visc = (
-                    nu_q[:, None, None] * gU if nu_nonlinear else nu_q * gU
+                    nu_q[:, None, None] * gU if nu_varying else nu_q * gU
                 )
-            elif nu_nonlinear:
+            elif nu_varying:
                 visc = 2.0 * nu_q[:, None, None] * eps
             else:
                 visc = 2.0 * nu_q * eps

@@ -62,6 +62,16 @@ class NSDGSolver(CoupledNavierStokesSolver):
         nu_spec, nu_nonlinear = self.viscosity_fn()
         if nu_nonlinear:
             raise SolverError("NSDGSolver supports constant viscosity only")
+        tset = self.settings.get("turbulence_settings")
+        if tset and str(tset.get("model", "")).lower() not in (
+            "", "none", "laminar"
+        ) and float(tset.get("Cs", 0.17)) != 0.0:
+            # loud, not silent: the SIPG facet fluxes assume constant nu;
+            # LES (varying nu_t) is available on the CG solver only
+            raise SolverError(
+                "turbulence_settings (LES) is not supported by NSDGSolver; "
+                "use CoupledNavierStokesSolver"
+            )
         nu = float(nu_spec)
         vd = self.vel_degree
         pd = self.pressure_degree
