@@ -88,7 +88,28 @@ def main(case_input):
         solver = CompressibleNSSolver(settings)
     else:
         raise NotImplementedError(f"solver {solver_name} is not supported")
+    import time as _time
+
+    t0 = _time.perf_counter()
     solver.solve()
+    wall = _time.perf_counter() - t0
+    # one-line run summary so batch/CLI use is auditable (the reference
+    # prints solve progress and results throughout, FenicsSolver/main.py:84-95)
+    ndof = getattr(getattr(solver, "function_space", None), "ndof", None)
+    iters = getattr(solver, "last_iterations", None)
+    if iters is None:
+        iters = getattr(solver, "_last_outer_iters", None)
+    saved = getattr(solver, "_last_saved_path", None)
+    iter_txt = (
+        "direct solve" if iters == "direct"
+        else f"{iters if iters is not None else 'n/a'} iterations"
+    )
+    print(
+        f"[fenicssolver_tpu] {solver_name}: solved "
+        f"{ndof if ndof is not None else '?'} dofs, "
+        f"{iter_txt}, {wall:.3f} s, result: "
+        f"{saved or '(not saved; set report_settings.saving_freq)'}"
+    )
     if settings.get("report_settings", {}).get("plotting_interactive"):
         try:
             solver.plot()

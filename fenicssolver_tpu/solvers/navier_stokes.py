@@ -187,7 +187,9 @@ class CoupledNavierStokesSolver(SolverBase):
         # Laplacian viscous form drops the open-boundary viscous
         # consistency term entirely, so the momentum block is coercive
         # (the 2-eps form's open-boundary term makes it mildly indefinite
-        # — docs/ARCHITECTURE.md §7); equivalent for div-free fields, the
+        # — docs/ARCHITECTURE.md §7); equivalent for div-free fields when
+        # nu is CONSTANT (with varying nu — LES/non-Newtonian — the forms
+        # differ by a grad(nu) term; see the kernel comment), the
         # outflow condition becomes nu du/dn - p n = 0
         laplacian_form = (
             self._solver_params().get("viscous_form") == "laplacian"
@@ -217,8 +219,14 @@ class CoupledNavierStokesSolver(SolverBase):
                     f"turbulence_settings model `{tset.get('model')}` "
                     "unsupported (Smagorinsky | laminar)"
                 )
-        # element volume = detJ * reference-simplex volume (affine cells)
-        ref_vol = 0.5 if mesh.tdim == 2 else (1.0 / 6.0)
+        # element volume = detJ * reference-simplex volume (affine cells);
+        # only the simplex families we discretize get a filter width
+        if les_cs is not None and mesh.tdim not in (2, 3):
+            raise SolverError(
+                f"LES filter width undefined for tdim={mesh.tdim} "
+                "(triangles/tets only)"
+            )
+        ref_vol = {1: 1.0, 2: 0.5, 3: 1.0 / 6.0}[mesh.tdim]
         inv_tdim = 1.0 / mesh.tdim
         nu_varying = nu_nonlinear or (les_cs is not None)
 
@@ -317,9 +325,14 @@ class CoupledNavierStokesSolver(SolverBase):
 
             # momentum: 2 nu eps(u):eps(v) - p/rho div v + (gradU . adv) . v
             # (viscous_form="laplacian": nu grad(u):grad(v) instead — for
-            # div-free fields the volume terms coincide; the open-boundary
-            # condition becomes the classic do-nothing nu du/dn - p n = 0
-            # whose momentum block is COERCIVE, see _add_pressure_boundary_term)
+            # CONSTANT nu and div-free fields the volume terms coincide;
+            # with spatially-varying nu (LES nu_t or nu(p,T)) they differ
+            # by a grad(nu)-dependent term, i.e. laplacian+LES implies a
+            # slightly different SGS stress divergence — a documented
+            # modeling choice, both forms are consistent discretizations
+            # of A Smagorinsky closure.  The open-boundary condition
+            # becomes the classic do-nothing nu du/dn - p n = 0 whose
+            # momentum block is COERCIVE, see _add_pressure_boundary_term)
             if laplacian_form:
                 visc = (
                     nu_q[:, None, None] * gU if nu_varying else nu_q * gU

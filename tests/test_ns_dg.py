@@ -35,6 +35,27 @@ def _fields(solver, up):
     return u, p
 
 
+def test_dg_turbulence_validation_matches_cg():
+    """Unknown turbulence models are rejected unconditionally (even with
+    Cs=0), identically to the CG solver; a known model with Cs!=0 gets the
+    DG-specific LES-unsupported error (ADVICE r3)."""
+    from fenicssolver_tpu.solvers.solver_base import SolverError
+
+    s = dg_settings(nx=4, ny=4)
+    s["turbulence_settings"] = {"model": "k-epsilon", "Cs": 0.0}
+    with pytest.raises(SolverError, match="k-epsilon"):
+        NSDGSolver(s).solve()
+    s = dg_settings(nx=4, ny=4)
+    s["turbulence_settings"] = {"model": "Smagorinsky", "Cs": 0.17}
+    with pytest.raises(SolverError, match="not supported by"):
+        NSDGSolver(s).solve()
+    # Cs = 0 on a KNOWN model is laminar — accepted, like the CG solver
+    s = dg_settings(nx=4, ny=4)
+    s["turbulence_settings"] = {"model": "Smagorinsky", "Cs": 0.0}
+    up = NSDGSolver(s).solve()
+    assert np.isfinite(np.asarray(up.values)).all()
+
+
 def test_dg_poiseuille_exact():
     s = dg_settings(nx=5, ny=4)
     solver = NSDGSolver(s)
