@@ -84,13 +84,15 @@ def _tentative_prolongator(agg, n_agg, B):
     bounds = np.searchsorted(agg_sorted, np.arange(n_agg + 1))
     sizes = np.diff(bounds)
     # batch the per-aggregate QRs by aggregate size (vectorized np.linalg.qr)
+    Bc3 = Bc.reshape(n_agg, k, k)
     for m in np.unique(sizes):
         a_ids = np.nonzero(sizes == m)[0]
         if m == 0:
             continue
-        idx = np.stack(
-            [order[bounds[a] : bounds[a] + m] for a in a_ids]
-        )  # (na, m)
+        # (na, m) member table: one fancy gather, no per-aggregate loop
+        # (the old per-aggregate list comprehensions were O(n_agg) python
+        # iterations — the setup hotspot at >=100k dofs)
+        idx = order[bounds[a_ids][:, None] + np.arange(int(m))[None, :]]
         Bblk = B[idx]  # (na, m, k)
         Q, R = np.linalg.qr(Bblk)  # (na, m, kk), (na, kk, k)
         kk = min(int(m), k)
@@ -98,8 +100,7 @@ def _tentative_prolongator(agg, n_agg, B):
             rows.append(idx.reshape(-1))
             cols.append(np.repeat(a_ids * k + j, m))
             vals.append(Q[:, :, j].reshape(-1))
-        for t, a in enumerate(a_ids):
-            Bc[a * k : a * k + kk, :] = R[t, :kk, :]
+        Bc3[a_ids, :kk, :] = R[:, :kk, :]
     P = coo_to_csr(
         np.concatenate(rows),
         np.concatenate(cols),

@@ -45,11 +45,17 @@ class HostCSR(NamedTuple):
         return d
 
     def matvec(self, x):
-        rows = csr_rows(self)
-        return np.bincount(
-            rows, weights=self.data * x[self.indices],
-            minlength=self.shape[0],
-        ).astype(np.result_type(self.data, x))
+        prod = self.data * x[self.indices]
+        if not len(prod):
+            return np.zeros(self.shape[0], dtype=np.result_type(self.data, x))
+        # segment-sum by reduceat over row starts (empty rows: reduceat
+        # duplicates the next segment's sum there — zero them after)
+        starts = self.indptr[:-1]
+        out = np.zeros(self.shape[0], dtype=prod.dtype)
+        valid = np.diff(self.indptr) > 0
+        sums = np.add.reduceat(prod, np.minimum(starts, len(prod) - 1))
+        out[valid] = sums[valid]
+        return out
 
     def toarray(self):
         out = np.zeros(self.shape, dtype=self.data.dtype)
@@ -65,25 +71,33 @@ def csr_rows(A: HostCSR):
 
 def coo_to_csr(rows, cols, vals, shape, sum_duplicates=True):
     """COO -> canonical CSR via ONE lexicographic sort + segment reduce
-    (``np.unique`` on linearized keys; duplicates summed)."""
+    (sorted linearized keys; duplicate runs summed with ``reduceat`` —
+    ~10x ``np.unique`` + ``np.add.at`` at RAP expansion sizes)."""
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals)
     keys = rows * shape[1] + cols
     if sum_duplicates:
-        uniq, inv = np.unique(keys, return_inverse=True)
-        out = np.zeros(len(uniq), dtype=vals.dtype)
-        np.add.at(out, inv, vals)
-        keys, vals = uniq, out
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        vals_s = vals[order]
+        if len(keys_s):
+            first = np.empty(len(keys_s), dtype=bool)
+            first[0] = True
+            np.not_equal(keys_s[1:], keys_s[:-1], out=first[1:])
+            starts = np.nonzero(first)[0]
+            keys = keys_s[starts]
+            vals = np.add.reduceat(vals_s, starts)
+        else:
+            keys, vals = keys_s, vals_s
     else:
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
     r = keys // shape[1]
     c = keys % shape[1]
-    indptr = np.zeros(shape[0] + 1, dtype=np.int64)
-    np.add.at(indptr[1:], r, 1)
-    np.cumsum(indptr, out=indptr)
-    return HostCSR(indptr, c, vals, shape)
+    # keys are sorted -> r is sorted: indptr by binary search, no scatter
+    indptr = np.searchsorted(r, np.arange(shape[0] + 1, dtype=np.int64))
+    return HostCSR(indptr.astype(np.int64), c, vals, shape)
 
 
 def sp_prune(A: HostCSR, eps=0.0):
@@ -103,12 +117,13 @@ def sp_transpose(A: HostCSR):
 
 
 def sp_matmat(A: HostCSR, B: HostCSR):
-    """C = A @ B: expand every A entry against its B row (padded to the
-    max B row degree — one gather), then one sort-reduce.  No loops."""
+    """C = A @ B: expand every A entry against its B row with an EXACT
+    ragged gather (one ``repeat``-based take — total work is the true
+    pre-reduction product size, not nnzA x max-B-degree: a single dense-ish
+    B row no longer inflates the whole expansion), then one sort-reduce."""
     assert A.shape[1] == B.shape[0], (A.shape, B.shape)
     degB = np.diff(B.indptr)
-    dmax = int(degB.max()) if len(degB) else 0
-    if dmax == 0 or A.nnz == 0:
+    if A.nnz == 0 or B.nnz == 0:
         return HostCSR(
             np.zeros(A.shape[0] + 1, np.int64),
             np.zeros(0, np.int64),
@@ -117,19 +132,27 @@ def sp_matmat(A: HostCSR, B: HostCSR):
         )
     rowsA = csr_rows(A)
     j = A.indices
-    # (nnzA, dmax) padded gather of B's rows j
-    start = B.indptr[j]
-    offs = np.arange(dmax, dtype=np.int64)
-    idx = start[:, None] + offs[None, :]
-    mask = offs[None, :] < degB[j][:, None]
-    idx = np.where(mask, idx, 0)
-    colsC = np.where(mask, B.indices[idx], 0)
-    valsC = np.where(mask, A.data[:, None] * B.data[idx], 0.0)
-    rowsC = np.broadcast_to(rowsA[:, None], colsC.shape)
-    m = mask.ravel()
+    counts = degB[j]  # per-A-entry expansion length
+    total = int(counts.sum())
+    if total == 0:
+        return HostCSR(
+            np.zeros(A.shape[0] + 1, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, A.data.dtype),
+            (A.shape[0], B.shape[1]),
+        )
+    ptr = np.zeros(len(j) + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    take = (
+        np.repeat(B.indptr[j], counts)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(ptr[:-1], counts)
+    )
+    rowsC = np.repeat(rowsA, counts)
+    colsC = B.indices[take]
+    valsC = np.repeat(A.data, counts) * B.data[take]
     return coo_to_csr(
-        rowsC.ravel()[m], colsC.ravel()[m], valsC.ravel()[m],
-        (A.shape[0], B.shape[1]),
+        rowsC, colsC, valsC, (A.shape[0], B.shape[1])
     )
 
 
