@@ -113,3 +113,59 @@ def elbow_mesh(resolution=24, three_d=False):
     remap = -np.ones(pts.shape[0], dtype=np.int64)
     remap[used] = np.arange(used.size)
     return Mesh(pts[used], remap[cells])
+
+
+def perturbed_tet_box(nx, ny=None, nz=None, extent=(1.0, 1.0, 1.0),
+                      amplitude=0.22, seed=0, permute=True):
+    """Genuinely unstructured 3D tet mesh of a box at controllable scale.
+
+    The reference's canonical 3D cases run on unstructured tets
+    (``data/mesh.xml``, gmsh output) whose generators don't ship here;
+    this produces an equivalent stressor at any size: start from the Kuhn
+    6-tet subdivision, displace every INTERIOR vertex by a deterministic
+    pseudo-random offset up to ``amplitude * h`` (destroying the constant
+    per-cell geometry every structured fast path keys on), then randomly
+    permute the vertex numbering (destroying the banded lattice ordering).
+    Displacements are halved where needed until every tet keeps positive
+    orientation, so the mesh is always valid.  The result carries NO
+    ``lattice_info`` — solvers treat it exactly like a file-loaded
+    unstructured mesh (general scatter assembly, quantile partitioning,
+    SA aggregation, pick-best RCM).
+    """
+    from .mesh import BoxMesh
+
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    base = BoxMesh((0.0, 0.0, 0.0), extent, nx, ny, nz)
+    coords = np.array(base.coords, dtype=np.float64)
+    cells_arr = np.array(base.cells_array)
+    h = np.array([extent[0] / nx, extent[1] / ny, extent[2] / nz])
+    eps = 1e-12
+    interior = (
+        (coords[:, 0] > eps) & (coords[:, 0] < extent[0] - eps)
+        & (coords[:, 1] > eps) & (coords[:, 1] < extent[1] - eps)
+        & (coords[:, 2] > eps) & (coords[:, 2] < extent[2] - eps)
+    )
+    rng = np.random.default_rng(seed)
+    disp = (rng.random(coords.shape) - 0.5) * 2.0 * amplitude * h
+    disp[~interior] = 0.0
+
+    def min_det(c):
+        p = c[cells_arr]
+        J = np.stack([p[:, i + 1] - p[:, 0] for i in range(3)], axis=1)
+        return np.linalg.det(J), J
+
+    for _ in range(20):
+        det, _ = min_det(coords + disp)
+        if det.min() > 1e-12 * float(np.prod(h)):
+            break
+        bad = np.unique(cells_arr[det <= 1e-12 * float(np.prod(h))].ravel())
+        disp[bad] *= 0.5
+    coords = coords + disp
+    if permute:
+        perm = rng.permutation(coords.shape[0])
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        coords = coords[perm]
+        cells_arr = inv[cells_arr]
+    return Mesh(coords, cells_arr)

@@ -251,6 +251,7 @@ class HaloShardedSolver:
         assert int(np.prod(grid)) == nd, (grid, nd)
         self.grid = grid
         owner = quantile_grid_partition(coords, grid)
+        self._owner = owner  # dof -> owning rank (momentum-AMG alignment)
         gc = np.stack(np.unravel_index(np.arange(nd), grid), axis=1)  # (nd, gdim)
 
         # O(ndof log) grouping, no per-rank full scans (VERDICT r2 item 6)
@@ -519,7 +520,8 @@ class HaloShardedSolver:
         return self.gather_global(x), int(np.asarray(iters).ravel()[0])
 
     # -- general (non-SPD) distributed Krylov ------------------------------
-    def _build_krylov(self, method, tol, maxiter, restart, dtype):
+    def _build_krylov(self, method, tol, maxiter, restart, dtype,
+                      M_build=None, extra_specs=None):
         """Distributed BiCGStab / GMRES / FGMRES in the halo layout.
 
         Reuses the serial ``la/krylov`` algorithms verbatim inside the
@@ -529,6 +531,16 @@ class HaloShardedSolver:
         global inner product.  This is what lets ``distributed: true``
         cover saddle-point / nonsymmetric systems (VERDICT r2 item 3 —
         the reference gets full-solver MPI from PETSc, SolverBase.py:102).
+
+        ``M_build``: optional custom-preconditioner hook replacing the
+        Jacobi diagonal — called INSIDE the shard_map program as
+        ``M_build(extra_local, helpers) -> M`` where ``extra_local`` is the
+        rank-sliced pytree of extra device args and ``helpers`` exposes the
+        program's own ``exchange`` / ``spmv_own`` / ``own`` / ``free``
+        closures (e.g. the NS fieldsplit preconditioner embeds the sharded
+        momentum AMG V-cycle and uses the mixed operator for the
+        triangular pressure-to-momentum coupling term).  ``extra_specs``:
+        matching pytree of PartitionSpecs for the extra args.
         """
         from ..la import krylov as _krylov
 
@@ -548,6 +560,7 @@ class HaloShardedSolver:
             P(AXIS),  # free_loc
             P(AXIS),  # ubc_loc (ghost slots filled from host)
             P(AXIS),  # prec diag (owned slots; 1 elsewhere)
+            extra_specs if extra_specs is not None else (),
         )
 
         @partial(
@@ -558,7 +571,7 @@ class HaloShardedSolver:
             check_vma=False,
         )
         def solve_k(tiles, col_blocks, own_mask, sends, recvs, b, free,
-                    ubc, pd):
+                    ubc, pd, extra):
             tiles = tiles[0]
             col_blocks = col_blocks[0]
             own = own_mask[0]
@@ -568,6 +581,14 @@ class HaloShardedSolver:
             free = free[0]
             ubc = ubc[0]
             pd = pd[0]
+            if extra_specs is not None:
+                # extra is a FLAT tuple of arrays with a matching flat
+                # tuple of specs: rank-slice only the sharded leaves
+                # (replicated P() leaves arrive unsliced)
+                extra = tuple(
+                    a[0] if s == P(AXIS) else a
+                    for a, s in zip(extra, extra_specs)
+                )
 
             def exchange(x):
                 for si in range(len(perms)):
@@ -600,8 +621,17 @@ class HaloShardedSolver:
 
             inv_pd = jnp.where(jnp.abs(pd) > 1e-30, 1.0 / pd, 1.0)
 
-            def M(r):
-                return own * (inv_pd * r)
+            if M_build is not None:
+                M = M_build(
+                    extra,
+                    dict(
+                        exchange=exchange, spmv_own=spmv_own, own=own,
+                        free=free, inv_pd=inv_pd,
+                    ),
+                )
+            else:
+                def M(r):
+                    return own * (inv_pd * r)
 
             def psum(v):
                 return jax.lax.psum(v, AXIS)
@@ -627,18 +657,28 @@ class HaloShardedSolver:
         return solve_k
 
     def solve_krylov(self, b, free_mask, u_bc, method="bicgstab",
-                     prec_diag=None, tol=1e-8, maxiter=2000, restart=100):
+                     prec_diag=None, tol=1e-8, maxiter=2000, restart=100,
+                     M_build=None, extra_args=None, extra_specs=None,
+                     prec_key=None):
         """Distributed non-SPD solve; ``prec_diag`` optionally overrides
         the Jacobi diagonal (e.g. momentum diag + scaled pressure lumped
-        mass for saddle points).  Returns (x_global, iterations)."""
+        mass for saddle points); ``M_build``/``extra_args``/``extra_specs``
+        inject a custom preconditioner built inside the program (see
+        ``_build_krylov``; ``prec_key`` must change when the M_build
+        closure's STRUCTURE changes so the compile cache misses).
+        Returns (x_global, iterations, rel_residual)."""
         dtype = jnp.asarray(b).dtype
-        key = (method, float(tol), int(maxiter), int(restart), str(dtype))
+        key = (method, float(tol), int(maxiter), int(restart), str(dtype),
+               prec_key if M_build is not None else None)
         cache = getattr(self, "_krylov_compiled", None)
         if cache is None:
             cache = self._krylov_compiled = {}
         if key not in cache:
             cache[key] = jax.jit(
-                self._build_krylov(method, tol, maxiter, restart, dtype)
+                self._build_krylov(
+                    method, tol, maxiter, restart, dtype,
+                    M_build=M_build, extra_specs=extra_specs,
+                )
             )
         d = self._dev
         asd = lambda a: jnp.asarray(a, dtype=dtype)
@@ -669,6 +709,7 @@ class HaloShardedSolver:
             asd(free_np),
             asd(self.scatter_local(np.asarray(u_bc))),
             asd(pd_np),
+            extra_args if extra_args is not None else (),
         )
         return (
             self.gather_global(x),
