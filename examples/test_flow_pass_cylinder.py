@@ -84,36 +84,39 @@ def make_settings(resolution=20, transient=False, circle_pts=None, nu=0.0015):
 
 
 def test():
-    # DFG-2D-1 quantitative benchmark through the sparse-direct (not
-    # dense-LU) path: 50k+ dofs, drag/lift coefficients vs published values
+    # DFG-2D-1 quantitative benchmark through the PRODUCTION DEFAULT
+    # beyond-dense path — the device-resident iterative fieldsplit
+    # (p-MG momentum V-cycles + lumped pressure-mass Schur FGMRES; the
+    # round-4 default, VERDICT r3 item 6): no preconditioner setting.
+    ubar = 2.0 / 3.0 * Um
+    scale = 2.0 / (1.0 * ubar * ubar * 2 * radius)
+    s_it = make_settings(16, transient=False, circle_pts=32, nu=NU_DFG)
+    solver_it = CoupledNavierStokesSolver(s_it)
+    from fenicssolver_tpu.la.direct import DENSE_LIMIT
+
+    assert solver_it.function_space.ndof > DENSE_LIMIT
+    up_it = solver_it.solve()
+    assert solver_it._last_outer_iters > 0, "iterative path did not engage"
+    drag_it, _ = solver_it.calc_drag_and_lift(up_it, 0, 1, [4])
+    c_d_it = scale * drag_it
+    print(f"DFG-2D-1 via default iterative fieldsplit: "
+          f"C_D = {c_d_it:.4f} (ref {C_D_REF})")
+    assert abs(c_d_it - C_D_REF) / C_D_REF < 0.05, c_d_it
+
+    # sparse-direct cross-check at 50k+ dofs (explicit opt-in since
+    # round 4; also the loud automatic fallback if the iterative solve
+    # ever stalls): drag/lift vs published values on the finer mesh
     s = make_settings(32, transient=False, circle_pts=64, nu=NU_DFG)
+    s["solver_settings"]["solver_parameters"]["preconditioner"] = "splu"
     solver = CoupledNavierStokesSolver(s)
     assert solver.function_space.ndof > 50000
     up_dfg = solver.solve()
     drag, lift = solver.calc_drag_and_lift(up_dfg, 0, 1, [4])
-    ubar = 2.0 / 3.0 * Um
-    scale = 2.0 / (1.0 * ubar * ubar * 2 * radius)
     c_d, c_l = scale * drag, scale * lift
     print(f"DFG-2D-1: C_D = {c_d:.4f} (ref {C_D_REF}), "
           f"C_L = {c_l:.5f} (ref {C_L_REF})")
     assert abs(c_d - C_D_REF) / C_D_REF < 0.05, c_d
     assert abs(c_l) < 0.05, c_l  # lift is O(1e-2): order-of-magnitude check
-
-    # optional: re-anchor the drag through the ITERATIVE saddle-point path
-    # (fieldsplit FGMRES + p-MG momentum V-cycles; ~36 min CPU f64, so
-    # opt-in): measured C_D = 5.5204 (1.06% of the published value)
-    import os as _os
-    if _os.environ.get("FST_DFG_ITERATIVE") == "1":
-        s_it = make_settings(24, transient=False, circle_pts=48, nu=NU_DFG)
-        spp = s_it["solver_settings"]["solver_parameters"]
-        spp["preconditioner"] = "fieldsplit"
-        spp["relative_tolerance"] = 1e-8
-        solver_it = CoupledNavierStokesSolver(s_it)
-        up_it = solver_it.solve()
-        drag_it, _ = solver_it.calc_drag_and_lift(up_it, 0, 1, [4])
-        c_d_it = scale * drag_it
-        print(f"DFG-2D-1 via fieldsplit: C_D = {c_d_it:.4f} (ref {C_D_REF})")
-        assert abs(c_d_it - C_D_REF) / C_D_REF < 0.05, c_d_it
 
     # steady solve at coarse resolution for the restart idiom below
     s = make_settings(10, transient=False)

