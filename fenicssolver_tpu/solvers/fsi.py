@@ -125,6 +125,26 @@ class CoupledSolver:
 class FSISolver(CoupledSolver):
     def __init__(self, solver_input):
         self.settings = solver_input
+        # distributed FSI (round-3 VERDICT item 8): a top-level
+        # solver_parameters.distributed (or coupling_settings.distributed)
+        # propagates into every participant, so the fluid saddle solves run
+        # through the halo fieldsplit-AMG FGMRES, the solid (Newton or
+        # linear) solves through the sharded-AMG halo Krylov, and the
+        # mesh-motion Poisson through the halo CG — the reference gets this
+        # for free from dolfin/PETSc MPI (FenicsSolver/SolverBase.py:102-118);
+        # the interface transfer stays a host gather over the small
+        # boundary vertex set.
+        dist = solver_input.get("solver_settings", {}).get(
+            "solver_parameters", {}
+        ).get("distributed") or solver_input.get(
+            "coupling_settings", {}
+        ).get("distributed")
+        if dist:
+            for s in self.settings["participants"]:
+                s["settings"].setdefault("solver_settings", {}).setdefault(
+                    "solver_parameters", {}
+                ).setdefault("distributed", dist)
+        self._distributed = bool(dist)
         for s in self.settings["participants"]:
             if s["solver_domain"] == "fluidic":
                 self.fluid_solver = CoupledNavierStokesSolver(s["settings"])
@@ -338,6 +358,25 @@ class FSISolver(CoupledSolver):
         A = self._mm_A
         freej = jnp.asarray(free)
         ubcj = jnp.asarray(u_bc)
+        if self._distributed:
+            import jax as _jax
+
+            if len(_jax.devices()) > 1:
+                # halo CG in the mesh-motion space (the mesh-motion Poisson
+                # is fluid-mesh-sized — leaving it serial would cap the
+                # distributed FSI step at this solve)
+                hs = getattr(self, "_mm_halo", None)
+                if hs is None:
+                    from ..parallel.halo import HaloShardedSolver
+
+                    hs = self._mm_halo = HaloShardedSolver(
+                        A, V.dof_coords
+                    )
+                x, _ = hs.solve(
+                    np.zeros(V.ndof), np.asarray(freej), np.asarray(ubcj),
+                    tol=1e-10, maxiter=2000,
+                )
+                return np.array(x).reshape(-1, d)
         op = assembly.constrained_operator(A.matvec, freej)
         rhs = assembly.constrained_rhs(
             A.matvec, jnp.zeros(V.ndof), freej, ubcj
