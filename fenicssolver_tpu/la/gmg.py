@@ -221,8 +221,59 @@ def build_gmg(
     )
 
 
+def _flat_stencil_ok(lv):
+    """True when a level's masked stencil apply can take the fused pallas
+    flat kernel (``ops/pallas_kernels.stencil_flat_apply_const``): TPU
+    backend, a host (numpy) hierarchy so the taps bake as constants, a
+    lattice big enough to beat the dispatch, shifts that fit the block
+    window, and a free mask that ZEROES the whole boundary shell (the
+    flat-shift exactness condition — see the kernel's module note)."""
+    import os
+
+    # default OFF — measured-and-rejected on v5e (round 4): the XLA
+    # pad/slice formulation runs AT the HBM roofline already (end-to-end
+    # bench n=104: 28.3 ms XLA vs 45.3 ms with the pallas kernels; the
+    # extra cost is the kernel's 3x window reads + lane rotates)
+    if os.environ.get("FST_PALLAS_STENCIL", "0") != "1":
+        return False
+    if not isinstance(lv.coefs, np.ndarray) or not isinstance(
+        lv.free3, np.ndarray
+    ):
+        return False
+    f = lv.free3
+    if f.ndim != 3 or int(np.prod(f.shape)) < 150_000:
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        # x64 sessions: Mosaic rejects the i64 index-map/iota constants
+        # jax emits under jax_enable_x64 (measured: 'func.return (i32,
+        # i64)' fails to legalize) — and TPU f64 is emulated anyway
+        if jax.config.jax_enable_x64:
+            return False
+    except Exception:  # pragma: no cover - backend probe only
+        return False
+    from ..ops.pallas_kernels import STENCIL_BLOCK, _flat_deltas
+
+    if max(abs(d) for d in _flat_deltas(f.shape)) >= STENCIL_BLOCK * 128:
+        return False
+    return not (
+        f[0].any() or f[-1].any() or f[:, 0].any() or f[:, -1].any()
+        or f[:, :, 0].any() or f[:, :, -1].any()
+    )
+
+
 def _a_free(lv, x3):
-    return lv.free3 * stencil_apply(lv.free3 * x3, lv.coefs)
+    xm = lv.free3 * x3
+    if _flat_stencil_ok(lv):
+        from ..ops.pallas_kernels import stencil_flat_apply_const
+
+        return lv.free3 * stencil_flat_apply_const(
+            xm, np.asarray(lv.coefs), interpret=False
+        )
+    return lv.free3 * stencil_apply(xm, lv.coefs)
 
 
 def _cycle(gmg, li, b3):

@@ -206,3 +206,203 @@ def p1_stiffness_sym_kernel(JinvT, detJ, tile=8192, interpret=None):
         interpret=interpret,
     )(JinvT, detJ)
     return Ae[:, :nc]
+
+
+# ---------------------------------------------------------------------------
+# Fused 15-tap Freudenthal stencil apply (flat layout)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation of the lattice stencil operator (``la/gmg.py
+# stencil_apply``: 14 ``jnp.pad``/slice temps) materializes every shifted
+# operand in HBM AND pays the (8, 128) tile padding of the odd (N, N, N)
+# lattice shapes (129 lanes -> 256): ~15 ms of the measured ~20 ms solve
+# wall at 1.16M dofs is shift-temp traffic (docs/ROADMAP.md, round-3
+# profile).  This kernel fuses all 15 taps into ONE pass over HBM in a
+# FLAT layout with zero tile waste.
+#
+# Flat-shift exactness: with the lattice flattened C-order, the shifted
+# read ``x[v + d]``, d = (di*Ny + dj)*Nz + dk, equals the zero-padded 3-D
+# shift WHENEVER the operand is zero on the whole boundary shell: taps
+# move at most one step per axis, so an interior output's reads stay
+# in-bounds in 3-D, and reads that wrap a j/k edge only ever land ON the
+# boundary shell (which holds zeros either way).  Callers must pre-mask
+# (the GMG smoothers already apply ``free3 * x`` before every stencil,
+# ``la/gmg.py:_a_free``) and mask the output on the shell.
+#
+# Layout: x is viewed as (rows, 128) with one leading and one trailing
+# guard block of zeros.  Each grid step writes one (BLOCK, 128) output
+# tile from the three input tiles (prev, cur, next); a shift by
+# d = 128*s + r (python floor/mod) is two static sublane slices combined
+# across the lane boundary — static slices only, no cross-lane gathers
+# (which Mosaic cannot lower).
+
+#: flat-kernel sublane block; 15 coef fields x (BLOCK, 128) f32 plus
+#: double-buffering must fit VMEM (~16 MB): 512 -> ~9 MB resident
+STENCIL_BLOCK = 512
+
+
+def _roll_fn(interpret):
+    """Lane rotate for the flat-shift kernels: Mosaic's ``tpu.rotate``
+    (``pltpu.roll``) on hardware, plain ``jnp.roll`` (same semantics)
+    under interpret mode where the Mosaic primitive has no rule."""
+    if interpret:
+        return jnp.roll
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll
+
+
+def _flat_shift(full, block, d, rolls=None, roll=jnp.roll):
+    """(BLOCK, 128) tile of ``x[v + d]`` from the 3-block window
+    ``full`` = [prev; cur; next] (3*BLOCK, 128).
+
+    The lane part of the shift is a ``pltpu.roll`` (tpu.rotate — the one
+    cross-lane data movement Mosaic lowers) + a lane-iota select between
+    the two adjacent row windows; a lane-dim ``concatenate`` of two
+    unaligned slices does NOT lower (Mosaic layout error, measured on
+    v5e).  ``rolls`` optionally caches the rolled ``full`` per lane
+    offset ``r`` so taps sharing ``r`` pay one rotate."""
+    s, r = divmod(int(d), 128)
+    base = block + s
+    if r == 0:
+        return full[base:base + block, :]
+    z = None if rolls is None else rolls.get(r)
+    if z is None:
+        # z[m, l] = full[m, (l + r) % 128] (shift as i32: tpu.dynamic_rotate
+        # rejects the i64 weak type an x64 session would give the literal)
+        z = roll(full, jnp.int32(128 - r), 1)
+        if rolls is not None:
+            rolls[r] = z
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block, 128), 1)
+    return jnp.where(
+        lane < jnp.int32(128 - r),
+        z[base:base + block, :],
+        z[base + 1:base + 1 + block, :],
+    )
+
+
+def _flat_deltas(shape3):
+    from .structured import OFFSETS
+
+    _, ny, nz = (int(v) for v in shape3)
+    return tuple(
+        int((di * ny + dj) * nz + dk) for di, dj, dk in OFFSETS
+    )
+
+
+def _flat_blocks(x_flat, block):
+    """Pad flat x with one guard block each side -> ((nb+2)*BLOCK, 128)."""
+    m = x_flat.shape[0]
+    bl = block * 128
+    nb = (m + bl - 1) // bl
+    xp = jnp.concatenate(
+        [
+            jnp.zeros(bl, x_flat.dtype),
+            x_flat,
+            jnp.zeros(nb * bl - m + bl, x_flat.dtype),
+        ]
+    )
+    return xp.reshape(-1, 128), nb
+
+
+def stencil_flat_apply(x3, coef, block=STENCIL_BLOCK, interpret=None):
+    """Variable-coefficient fused stencil: y[v] = sum_t coef[t, v] x[v+d_t].
+
+    ``x3``: (Nx, Ny, Nz) operand, ZERO on the boundary shell (see module
+    note); ``coef``: (15, Nx, Ny, Nz) per-vertex tap fields aligned with
+    ``ops.structured.OFFSETS``.  Output boundary-shell values are garbage
+    (callers mask, matching the XLA path's ``free *`` envelope)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape3 = x3.shape
+    deltas = _flat_deltas(shape3)
+    assert max(abs(d) for d in deltas) < block * 128, "block too small"
+    m = int(np.prod(shape3))
+    xp, nb = _flat_blocks(x3.reshape(-1), block)
+    cpad = nb * block * 128 - m
+    cf = jnp.pad(coef.reshape(15, -1), ((0, 0), (0, cpad))).reshape(
+        15, -1, 128
+    )
+
+    roll = _roll_fn(interpret)
+
+    def kernel(xprev, xcur, xnext, c_ref, y_ref):
+        full = jnp.concatenate([xprev[...], xcur[...], xnext[...]], axis=0)
+        rolls = {}
+        acc = c_ref[0] * _flat_shift(full, block, deltas[0], rolls, roll)
+        for t in range(1, 15):
+            acc = acc + c_ref[t] * _flat_shift(
+                full, block, deltas[t], rolls, roll
+            )
+        y_ref[...] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 128), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 128), lambda i: (i + 2, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((15, block, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * block, 128), x3.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, cf)
+    return y.reshape(-1)[:m].reshape(shape3)
+
+
+def stencil_flat_apply_const(x3, coefs, block=STENCIL_BLOCK,
+                             interpret=None):
+    """Constant-coefficient fused stencil (the GMG level operators,
+    ``la/gmg.py``): ``coefs`` is a host tuple of 15 floats baked into the
+    kernel — traffic is just x in + y out (vs 15 pad temps in XLA)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape3 = x3.shape
+    deltas = _flat_deltas(shape3)
+    assert max(abs(d) for d in deltas) < block * 128, "block too small"
+    m = int(np.prod(shape3))
+    xp, nb = _flat_blocks(x3.reshape(-1), block)
+    cs = tuple(float(c) for c in coefs)
+
+    roll = _roll_fn(interpret)
+
+    def kernel(xprev, xcur, xnext, y_ref):
+        full = jnp.concatenate([xprev[...], xcur[...], xnext[...]], axis=0)
+        rolls = {}
+        acc = cs[0] * _flat_shift(full, block, deltas[0], rolls, roll)
+        for t in range(1, 15):
+            acc = acc + cs[t] * _flat_shift(
+                full, block, deltas[t], rolls, roll
+            )
+        y_ref[...] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 128), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 128), lambda i: (i + 2, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * block, 128), x3.dtype),
+        interpret=interpret,
+    )(xp, xp, xp)
+    return y.reshape(-1)[:m].reshape(shape3)
