@@ -320,7 +320,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
     )
     mode = os.environ.get(
         "BENCH_ASSEMBLY",
-        "pallas-sym" if jax.default_backend() == "tpu" else "xla",
+        "factored" if jax.default_backend() == "tpu" else "xla",
     )
     gref_dev = gref_np  # converted at trace time inside the jit
     bf = jnp.bfloat16
@@ -343,7 +343,51 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
             ((ca[0], 1 - ca[0]), (ca[1], 1 - ca[1]), (ca[2], 1 - ca[2])),
         )
 
+    # factored structured assembly (ops/structured.scalar_stencil_tables):
+    # on the box lattice Ae = G_t * (detJ_e / det_t), so global assembly is
+    # 46 zero-pads of 60 weighted per-type coefficient-field terms instead
+    # of 96 element-entry slice-adds over a materialized (10, nc) Gram.
+    # The per-cell VARIABLE field (detJ scale / diffusivity) is still an
+    # input every rep — this is the textbook constant-geometry structured
+    # optimization, not a degenerate constant fold.
+    if mode == "factored":
+        from fenicssolver_tpu.ops.structured import scalar_stencil_tables
+
+        tabs_f = scalar_stencil_tables(n, n, n)  # unit cube, h = 1/n
+        by_oi_f = {}
+        for oi, ca, w in tabs_f:
+            terms = [(t, np.float32(w[t])) for t in range(6)
+                     if abs(w[t]) > 1e-14]
+            if terms:  # some corner groups cancel exactly (w == 0)
+                by_oi_f.setdefault(oi, []).append((ca, terms))
+        inv_det1 = (1.0 / det1).astype(np.float32)  # (6,)
+
     def assemble(JinvT, detJ):
+        if mode == "factored":
+            s = detJ.reshape(6, n, n, n) * inv_det1[:, None, None, None]
+            detJ6 = detJ.reshape(6, n, n, n)
+            N1 = n + 1
+            coef = jnp.stack(
+                [
+                    sum(
+                        _pad_block(
+                            sum(wt * s[t] for t, wt in terms), ca
+                        )
+                        for ca, terms in by_oi_f[oi]
+                    )
+                    if oi in by_oi_f
+                    # corner-diagonal taps cancel identically on the Kuhn
+                    # lattice (w == 0 for every tet type)
+                    else jnp.zeros((N1, N1, N1), dtype=detJ.dtype)
+                    for oi in range(len(OFFSETS_T))
+                ]
+            )
+            b3 = sum(
+                _pad_block(detJ6[t] / 24.0, ca)
+                for t, path in enumerate(TET_PATHS)
+                for ca in path
+            )
+            return coef, b3
         if mode == "pallas-sym":
             from fenicssolver_tpu.ops.pallas_kernels import (
                 p1_stiffness_sym_kernel,
@@ -398,13 +442,38 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
         )
         return coef, b3
 
+    # fused pallas flat-stencil matvec (one HBM pass over the 15 coef
+    # fields, zero tile waste) vs the XLA 14-pad-temp formulation.
+    # MEASURED-AND-REJECTED (round 4, v5e): end-to-end n=104 solve
+    # 45.3 ms pallas vs 28.3 ms XLA (identical 7 iters / umax); slope
+    # microbench put the XLA var-coef apply AT the HBM roofline
+    # (0.102 ms/apply = 16 fields x 6 MB at ~820 GB/s), i.e. XLA already
+    # fuses the shift temps and the round-3 "15 ms shift-temp traffic"
+    # hypothesis was wrong.  BENCH_PALLAS_MATVEC=1 re-measures.
+    use_pallas_mv = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("BENCH_PALLAS_MATVEC", "0") == "1"
+    )
+
     def make_apply(coef, fr):
-        def apply3(x3):
-            y = coef[CENTER_IDX] * x3
-            for oi, d in enumerate(OFFSETS_T):
-                if oi != CENTER_IDX:
-                    y = y + coef[oi] * _shift(x3, d)
-            return y
+        if use_pallas_mv:
+            from fenicssolver_tpu.ops.pallas_kernels import (
+                stencil_flat_apply,
+            )
+
+            def apply3(x3):
+                # operand is pre-masked by ``fr`` (zero boundary shell),
+                # the flat-shift exactness condition
+                return stencil_flat_apply(x3, coef, interpret=False)
+
+        else:
+
+            def apply3(x3):
+                y = coef[CENTER_IDX] * x3
+                for oi, d in enumerate(OFFSETS_T):
+                    if oi != CENTER_IDX:
+                        y = y + coef[oi] * _shift(x3, d)
+                return y
 
         def matvec(x3):
             return fr * apply3(fr * x3) + (1 - fr) * x3
@@ -563,6 +632,56 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
         )
         return umaxes, its, rs
 
+    # phase split (VERDICT r3 item 4): time assembly and solve SEPARATELY,
+    # each as REPS seed-distinct executions inside one dispatch.  The
+    # assembly scan forces materialization with a cheap reduction; the
+    # solve scan takes the assembled (coef, b3) as ARGS and runs on a
+    # seed-scaled rhs per rep (a pure scaling — identical PCG iterate
+    # path, defeats the executor dedup).  Headline dt stays END-TO-END
+    # (assembly+solve, the BASELINE.json metric); the split lands in the
+    # child result for the detail record.
+    @jax.jit
+    def steps_assembly(seed):
+        JinvT = jnp.broadcast_to(
+            jnp.asarray(Jinv1T)[:, :, :, None], (3, 3, 6, ncub)
+        ).reshape(3, 3, 6 * ncub)
+        det_base = jnp.broadcast_to(
+            jnp.asarray(det1)[:, None], (6, ncub)
+        ).reshape(6 * ncub)
+
+        def body(_, i):
+            detJ = det_base * (1.0 + 1e-6 * (seed + i + 1.0))
+            coef, b3 = assemble(JinvT, detJ)
+            # consume EVERY coef field (a center-only reduction would let
+            # XLA dead-code-eliminate the other 14 fields' assembly)
+            return 0.0, (jnp.max(jnp.abs(coef)) + jnp.max(b3))
+
+        _, outs = jax.lax.scan(
+            body, 0.0, jnp.arange(reps, dtype=jnp.float32)
+        )
+        return outs
+
+    @jax.jit
+    def assemble_once(seed):
+        JinvT = jnp.broadcast_to(
+            jnp.asarray(Jinv1T)[:, :, :, None], (3, 3, 6, ncub)
+        ).reshape(3, 3, 6 * ncub)
+        det_base = jnp.broadcast_to(
+            jnp.asarray(det1)[:, None], (6, ncub)
+        ).reshape(6 * ncub)
+        return assemble(JinvT, det_base * (1.0 + 1e-6 * (seed + 1.0)))
+
+    @jax.jit
+    def steps_solve(seed, coef, b3):
+        def body(_, i):
+            x, iters, res = solve_one(coef, b3 * (1.0 + 1e-3 * (seed + i)))
+            return 0.0, (jnp.max(x), iters, res)
+
+        _, (umaxes, its, rs) = jax.lax.scan(
+            body, 0.0, jnp.arange(reps, dtype=jnp.float32)
+        )
+        return umaxes, its, rs
+
     setup_s = time.perf_counter() - t_setup0
     t_c = time.perf_counter()
     umaxes, its, rs = steps(np.float32(0.0))
@@ -577,9 +696,31 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
     umaxes, its, rs = steps(np.float32(reps))
     umax = float(np.asarray(umaxes)[-1])  # host fetch forces completion
     dt = (time.perf_counter() - t0) / reps
+    # --- phase split (warm each, then time; device-resident coef/b3) ---
+    assembly_ms = solve_ms = None
+    if os.environ.get("BENCH_PHASES", "1") == "1":
+        try:
+            float(np.asarray(steps_assembly(np.float32(0.0)))[-1])  # warm
+            t_a = time.perf_counter()
+            float(np.asarray(steps_assembly(np.float32(2 * reps)))[-1])
+            assembly_ms = (time.perf_counter() - t_a) / reps * 1e3
+            coef_d, b3_d = assemble_once(np.float32(0.0))
+            coef_d.block_until_ready()
+            _u, _i, _r = steps_solve(np.float32(0.0), coef_d, b3_d)  # warm
+            float(np.asarray(_u)[-1])
+            t_s = time.perf_counter()
+            _u, _i, _r = steps_solve(np.float32(3 * reps), coef_d, b3_d)
+            float(np.asarray(_u)[-1])
+            solve_ms = (time.perf_counter() - t_s) / reps * 1e3
+            _log(
+                f"phase split: assembly {assembly_ms:.1f} ms, solve "
+                f"{solve_ms:.1f} ms (end-to-end {dt * 1e3:.1f} ms/rep)"
+            )
+        except Exception as e:  # phases are evidence, never a blocker
+            sys.stderr.write(f"phase split failed: {e}\n")
     x_like = np.array([umax], dtype=np.float32)  # umax is the check value
     return (ndof, dt, int(np.asarray(its)[-1]), float(np.asarray(rs)[-1]),
-            x_like, setup_s)
+            x_like, setup_s, assembly_ms, solve_ms)
 
 
 # ---------------------------------------------------------------------------
@@ -732,6 +873,333 @@ def cpu_baseline(n, tol, maxiter):
     )
     dt = time.perf_counter() - t0
     return ndof, dt, niter[0], xf
+
+
+def _unstructured_problem(nbox):
+    """Host setup of the genuinely UNSTRUCTURED record (VERDICT r3 item
+    5): perturbed-geometry, scrambled-numbering tets
+    (``core/meshgen.perturbed_tet_box`` — no lattice_info, no constant
+    cell geometry, no banded ordering), generic scipy COO->CSR assembly,
+    box-face Dirichlet.  This is the path the reference's own meshes
+    (``data/mesh.xml`` gmsh tets) take."""
+    import scipy.sparse as sp
+
+    from fenicssolver_tpu.core.meshgen import perturbed_tet_box
+
+    mesh = perturbed_tet_box(nbox)
+    coords = np.asarray(mesh.coords, dtype=np.float64)
+    cells = np.asarray(mesh.cells_array)
+    ndof = coords.shape[0]
+    p = coords[cells]  # (nc, 4, 3)
+    J = np.swapaxes(p[:, 1:] - p[:, :1], 1, 2)  # (nc, 3, 3) columns e_i
+    detJ = np.abs(np.linalg.det(J))
+    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    g = np.einsum("kt,ctg->ckg", gref, np.linalg.inv(J))  # (nc, 4, 3)
+    Ae = np.einsum("cig,cjg,c->cij", g, g, detJ / 6.0)
+    rows = np.repeat(cells, 4, axis=1).ravel()
+    cols = np.tile(cells, (1, 4)).ravel()
+    A = sp.coo_matrix(
+        (Ae.ravel(), (rows, cols)), shape=(ndof, ndof)
+    ).tocsr()
+    b = np.zeros(ndof)
+    np.add.at(b, cells.ravel(), np.repeat(detJ / 24.0, 4))
+    eps = 1e-12
+    on_face = (
+        (coords < eps) | (coords > 1.0 - eps)
+    ).any(axis=1)
+    free = ~on_face
+    return A, b, free
+
+
+def _unstr_hierarchy(A, free):
+    """Free-submatrix SA-AMG hierarchy (the same host build the serial and
+    sharded AMG preconditioners use) -> flat per-level arrays."""
+    from fenicssolver_tpu.la.sparse_algebra import csr_rows, from_scipy
+    from fenicssolver_tpu.parallel.amg_halo import build_sa_hierarchy
+
+    Af = A[free][:, free].tocsr()
+    levels, coarse = build_sa_hierarchy(
+        from_scipy(Af), np.ones((Af.shape[0], 1))
+    )
+
+    def mat_arrays(M):
+        return (
+            csr_rows(M).astype(np.int32),
+            M.indices.astype(np.int32),
+            M.data,
+            M.shape[0],
+        )
+
+    out = []
+    for lv in levels:
+        out.append(
+            dict(
+                A=mat_arrays(lv["A"]),
+                R=mat_arrays(lv["R"]),
+                P=mat_arrays(lv["P"]),
+                l1=lv["l1"],
+                lam1=float(lv["lam1"]),
+            )
+        )
+    cA = mat_arrays(coarse["A"])
+    pinv = np.linalg.pinv(coarse["A"].toarray())
+    return Af, out, cA, pinv
+
+
+def _make_unstr_solver(levels, pinv_shape, nf, tol, maxiter, dtype):
+    """One jitted functional AMG-PCG: every hierarchy array is an ARGUMENT
+    (a >100 MB jit closure constant can wedge the axon remote compiler —
+    CLAUDE.md hazards).  Matvecs are gather + segment_sum — the generic
+    unstructured path, no stencil structure anywhere."""
+    import jax
+    import jax.numpy as jnp
+
+    Ls = [lv["A"][3] for lv in levels]  # static level sizes
+    lam1s = [lv["lam1"] for lv in levels]
+
+    def seg_mv(rows, colsx, data, x, nrow):
+        return jax.ops.segment_sum(
+            data * x[colsx], rows, num_segments=nrow
+        )
+
+    def solve(fineA, lvl_args, pinv, b):
+        rows0, cols0, data0 = fineA
+
+        def matvec(x):
+            return seg_mv(rows0, cols0, data0, x, nf)
+
+        def smooth(li, bvec, degree):
+            (ar, ac, ad, l1) = lvl_args[li][0]
+            lam = lam1s[li]
+            inv_l1 = 1.0 / l1
+            lmin = 0.25 * lam
+            theta = 0.5 * (lam + lmin)
+            delta = 0.5 * (lam - lmin)
+            sigma = theta / delta
+            r = bvec * inv_l1
+            dvec = r / theta
+            x = dvec
+            rho = 1.0 / sigma
+            for _ in range(degree - 1):
+                r = r - seg_mv(ar, ac, ad, dvec, Ls[li]) * inv_l1
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                dvec = rho_new * rho * dvec + (2.0 * rho_new / delta) * r
+                x = x + dvec
+                rho = rho_new
+            return x
+
+        def vcycle(li, bvec):
+            if li == len(Ls):
+                return pinv @ bvec
+            (ar, ac, ad, _), (rr, rc, rd), (pr, pc, pd) = lvl_args[li]
+            x = smooth(li, bvec, 3)
+            r = bvec - seg_mv(ar, ac, ad, x, Ls[li])
+            nrc = Ls[li + 1] if li + 1 < len(Ls) else pinv.shape[0]
+            rcv = seg_mv(rr, rc, rd, r, nrc)
+            ec = vcycle(li + 1, rcv)
+            x = x + seg_mv(pr, pc, pd, ec, Ls[li])
+            x = x + smooth(li, bvec - seg_mv(ar, ac, ad, x, Ls[li]), 3)
+            return x
+
+        def M(r):
+            return vcycle(0, r)
+
+        f32 = jnp.float32
+
+        def dot(a, c):
+            return jnp.vdot(a.astype(f32), c.astype(f32))
+
+        r = b
+        z = M(r)
+        p = z
+        rz = dot(r, z)
+        bnorm = jnp.sqrt(dot(b, b))
+
+        def cond(st):
+            x, r, z, p, rz, i = st
+            return (jnp.sqrt(dot(r, r)) > tol * bnorm) & (i < maxiter)
+
+        def body(st):
+            x, r, z, p, rz, i = st
+            Ap = matvec(p)
+            alpha = (rz / dot(p, Ap)).astype(b.dtype)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = dot(r, z)
+            p = z + (rz_new / rz).astype(b.dtype) * p
+            return (x, r, z, p, rz_new, i + 1)
+
+        x0 = jnp.zeros(nf, dtype=b.dtype)
+        x, r, *_, iters = jax.lax.while_loop(
+            cond, body, (x0, r, z, p, rz, jnp.array(0))
+        )
+        res = jnp.sqrt(dot(r, r)) / bnorm
+        return x, iters, res
+
+    return jax.jit(solve)
+
+
+def tpu_run_unstructured(nbox, tol, maxiter):
+    """Unstructured-path throughput at >= 1M dofs (VERDICT r3 item 5):
+    generic gather/segment-sum SpMV + SA-AMG V-cycle PCG on a perturbed,
+    scrambled tet mesh — the number that corresponds to the reference's
+    actual (gmsh/unstructured) case surface, complementing the
+    box-lattice stencil headline."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    A, b, free = _unstructured_problem(nbox)
+    ndof = A.shape[0]
+    _log(f"unstructured setup: assembled {ndof} dofs "
+         f"in {time.perf_counter() - t0:.1f}s")
+    t1 = time.perf_counter()
+    Af, levels, cA, pinv = _unstr_hierarchy(A, free)
+    nf = Af.shape[0]
+    _log(
+        f"unstructured SA hierarchy {time.perf_counter() - t1:.1f}s "
+        f"(levels={[lv['A'][3] for lv in levels]} coarse={cA[3]})"
+    )
+    setup_s = time.perf_counter() - t0
+    dtype = np.float32
+
+    solve = _make_unstr_solver(levels, pinv.shape, nf, tol, maxiter, dtype)
+
+    def lvl_args_dev():
+        out = []
+        for lv in levels:
+            ar, ac, ad, _ = lv["A"]
+            rr, rc, rd, _ = lv["R"]
+            pr, pc, pd, _ = lv["P"]
+            out.append(
+                (
+                    (
+                        jnp.asarray(ar), jnp.asarray(ac),
+                        jnp.asarray(ad.astype(dtype)),
+                        jnp.asarray(lv["l1"].astype(dtype)),
+                    ),
+                    (jnp.asarray(rr), jnp.asarray(rc),
+                     jnp.asarray(rd.astype(dtype))),
+                    (jnp.asarray(pr), jnp.asarray(pc),
+                     jnp.asarray(pd.astype(dtype))),
+                )
+            )
+        return tuple(out)
+
+    from fenicssolver_tpu.la.sparse_algebra import csr_rows, from_scipy
+
+    Afh = from_scipy(Af)
+    fine = (
+        jnp.asarray(csr_rows(Afh).astype(np.int32)),
+        jnp.asarray(Afh.indices.astype(np.int32)),
+        jnp.asarray(Afh.data.astype(dtype)),
+    )
+    la_dev = lvl_args_dev()
+    pinv_dev = jnp.asarray(pinv.astype(dtype))
+    bf = b[free].astype(dtype)
+    # warm-up compile on one rhs, then time a DISTINCT rhs (axon executor
+    # dedups identical (executable, inputs) dispatches — CLAUDE.md trap)
+    x1, it1, res1 = solve(fine, la_dev, pinv_dev, jnp.asarray(bf))
+    float(np.asarray(res1))
+    b2 = jnp.asarray(bf * np.float32(2.0))
+    t2 = time.perf_counter()
+    x2, it2, res2 = solve(fine, la_dev, pinv_dev, b2)
+    umax = float(np.max(np.asarray(x2))) / 2.0  # host fetch forces sync
+    dt = time.perf_counter() - t2
+    return ndof, dt, int(np.asarray(it2)), float(np.asarray(res2)), umax, \
+        round(setup_s, 1)
+
+
+def cpu_baseline_unstructured(nbox, tol, maxiter):
+    """Same mesh, same hierarchy, same Chebyshev/V-cycle/PCG in numpy —
+    the same-algorithm CPU mirror for the unstructured record."""
+    import scipy.sparse as sp
+
+    t0 = time.perf_counter()
+    A, b, free = _unstructured_problem(nbox)
+    ndof = A.shape[0]
+    Af, levels, cA, pinv = _unstr_hierarchy(A, free)
+    nf = Af.shape[0]
+    Ls = [lv["A"][3] for lv in levels]
+
+    def as_scipy(m, ncols):
+        rows, cols, data, nrow = m
+        return sp.csr_matrix(
+            (data, (rows, cols)), shape=(nrow, ncols)
+        )
+
+    sp_levels = []
+    for li, lv in enumerate(levels):
+        ncol_A = Ls[li]
+        ncol_next = Ls[li + 1] if li + 1 < len(Ls) else pinv.shape[0]
+        sp_levels.append(
+            dict(
+                A=as_scipy(lv["A"], ncol_A),
+                R=as_scipy(lv["R"], ncol_A),
+                P=as_scipy(lv["P"], ncol_next),
+            )
+        )
+
+    def seg_mv(m, x, nrow):
+        return m @ x
+
+    def smooth(li, bvec, degree):
+        l1 = levels[li]["l1"]
+        lam = levels[li]["lam1"]
+        lmin = 0.25 * lam
+        theta = 0.5 * (lam + lmin)
+        delta = 0.5 * (lam - lmin)
+        sigma = theta / delta
+        r = bvec / l1
+        dv = r / theta
+        x = dv.copy()
+        rho = 1.0 / sigma
+        for _ in range(degree - 1):
+            r = r - seg_mv(sp_levels[li]["A"], dv, Ls[li]) / l1
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            dv = rho_new * rho * dv + (2.0 * rho_new / delta) * r
+            x = x + dv
+            rho = rho_new
+        return x
+
+    def vcycle(li, bvec):
+        if li == len(Ls):
+            return pinv @ bvec
+        x = smooth(li, bvec, 3)
+        r = bvec - seg_mv(sp_levels[li]["A"], x, Ls[li])
+        nrc = Ls[li + 1] if li + 1 < len(Ls) else pinv.shape[0]
+        rc = seg_mv(sp_levels[li]["R"], r, nrc)
+        ec = vcycle(li + 1, rc)
+        x = x + seg_mv(sp_levels[li]["P"], ec, Ls[li])
+        return x + smooth(
+            li, bvec - seg_mv(sp_levels[li]["A"], x, Ls[li]), 3
+        )
+
+    Afs = Af  # scipy csr
+    bf = b[free]
+    t1 = time.perf_counter()
+    x = np.zeros(nf)
+    r = bf.copy()
+    z = vcycle(0, r)
+    p = z.copy()
+    rz = r @ z
+    bnorm = np.linalg.norm(bf)
+    it = 0
+    while np.linalg.norm(r) > tol * bnorm and it < maxiter:
+        Ap = Afs @ p
+        alpha = rz / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        z = vcycle(0, r)
+        rz_new = r @ z
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+        it += 1
+    dt = time.perf_counter() - t1
+    xg = np.zeros(ndof)
+    xg[free] = x
+    return ndof, dt, it, xg
 
 
 def tpu_run_elasticity(n, tol, maxiter):
@@ -1052,20 +1520,38 @@ def cpu_baseline_stencil(n, tol, maxiter):
 
     N = n + 1
     ndof = N**3
+    factored = os.environ.get("BENCH_ASSEMBLY", "factored") == "factored"
     t0 = time.perf_counter()
     Jinv, detJ = box_tet_geometry(n, n, n, dtype=np.float64)
-    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
-    g = np.einsum("kt,ctg->ckg", gref, Jinv)  # (nc,4,3)
-    Ae = np.einsum("cig,cjg,c->ijc", g, g, detJ / 6.0)  # (4,4,nc)
-    Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+    if not factored:
+        gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+        g = np.einsum("kt,ctg->ckg", gref, Jinv)  # (nc,4,3)
+        Ae = np.einsum("cig,cjg,c->ijc", g, g, detJ / 6.0)  # (4,4,nc)
+        Ae6 = Ae.reshape(4, 4, 6, n, n, n)
     detJ6 = detJ.reshape(6, n, n, n)
-    M = _NumpyGMG(n)
+    t_m0 = time.perf_counter()
+    M = _NumpyGMG(n)  # preconditioner SETUP (mirrors the TPU side's
+    # host gmg build, which sits in setup_s outside the timed phases)
+    t_asm0 = time.perf_counter()
     OFF = M.OFFSETS
     coef = np.zeros((len(OFF), N, N, N))
-    for t, a, b, oi, ca in stencil_entry_table():
-        coef[oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n] += (
-            Ae6[a, b, t]
-        )
+    if factored:
+        # same factored algorithm as the TPU side (BENCH_ASSEMBLY default)
+        from fenicssolver_tpu.ops.structured import scalar_stencil_tables
+
+        _, det_t = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
+                                    dtype=np.float64)
+        s6 = detJ6 / det_t[:, None, None, None]
+        for oi, ca, w in scalar_stencil_tables(n, n, n):
+            blk = sum(w[t] * s6[t] for t in range(6) if abs(w[t]) > 1e-14)
+            coef[
+                oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
+            ] += blk
+    else:
+        for t, a, b, oi, ca in stencil_entry_table():
+            coef[
+                oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
+            ] += Ae6[a, b, t]
     b3 = np.zeros((N, N, N))
     for t, path in enumerate(TET_PATHS):
         for ca in path:
@@ -1088,6 +1574,7 @@ def cpu_baseline_stencil(n, tol, maxiter):
         return y.ravel()
 
     rhs = (free3 * b3).ravel()
+    t_solve0 = time.perf_counter()
     Aop = spl.LinearOperator((ndof, ndof), matvec=matvec)
     Mop = spl.LinearOperator((ndof, ndof), matvec=M)
     niter = [0]
@@ -1095,7 +1582,14 @@ def cpu_baseline_stencil(n, tol, maxiter):
         Aop, rhs, rtol=tol, maxiter=maxiter, M=Mop,
         callback=lambda xk: niter.__setitem__(0, niter[0] + 1),
     )
-    dt = time.perf_counter() - t0
+    t_end = time.perf_counter()
+    dt = t_end - t0
+    # mirror of the TPU phase split (assembly | solve; the _NumpyGMG setup
+    # window is excluded from both, like the TPU side's host gmg build)
+    cpu_baseline_stencil.last_phases = (
+        round(((t_m0 - t0) + (t_solve0 - t_asm0)) * 1e3, 1),
+        round((t_end - t_solve0) * 1e3, 1),
+    )
     return ndof, dt, niter[0], xf
 
 
@@ -1104,19 +1598,23 @@ def _child_main(n, tol, bf16=False):
     the axon TPU tunnel occasionally wedges; the parent retries smaller)."""
     fmt = os.environ.get("BENCH_FORMAT", "stencil")
     if bf16:
-        ndof, dt, iters, res, x, setup_s = tpu_run_stencil(
+        ndof, dt, iters, res, x, setup_s, a_ms, s_ms = tpu_run_stencil(
             n, tol, maxiter=3000, bf16=True
         )
-    else:
-        run = tpu_run_stencil if fmt == "stencil" else tpu_run
-        ndof, dt, iters, res, x, setup_s = run(n, tol, maxiter=3000)
-    print(
-        "CHILD_RESULT "
-        + json.dumps(
-            dict(ndof=ndof, dt=dt, iters=iters, res=res,
-                 umax=float(np.max(x)), setup_s=round(setup_s, 1))
+    elif fmt == "stencil":
+        ndof, dt, iters, res, x, setup_s, a_ms, s_ms = tpu_run_stencil(
+            n, tol, maxiter=3000
         )
-    )
+    else:
+        ndof, dt, iters, res, x, setup_s = tpu_run(n, tol, maxiter=3000)
+        a_ms = s_ms = None
+    rec = dict(ndof=ndof, dt=dt, iters=iters, res=res,
+               umax=float(np.max(x)), setup_s=round(setup_s, 1))
+    if a_ms is not None and s_ms is not None:
+        rec["assembly_ms"] = round(a_ms, 2)
+        rec["solve_ms"] = round(s_ms, 2)
+        rec["solve_dofs_per_sec"] = round(ndof / (s_ms * 1e-3), 1)
+    print("CHILD_RESULT " + json.dumps(rec))
 
 
 def _run_child(arg, n, timeout_s):
@@ -1205,6 +1703,19 @@ def main():
             )
         )
         return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child-unstr":
+        n = int(sys.argv[2])
+        ndof, dt, iters, res, umax, setup_s = tpu_run_unstructured(
+            n, tol, maxiter=500
+        )
+        print(
+            "CHILD_RESULT "
+            + json.dumps(
+                dict(ndof=ndof, dt=dt, iters=iters, res=res, umax=umax,
+                     setup_s=setup_s)
+            )
+        )
+        return
 
     fmt = os.environ.get("BENCH_FORMAT", "stencil")
     # RECORD-FIRST sizing (round-2 lesson: the n=128 primary burned its
@@ -1237,8 +1748,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        run = tpu_run_stencil if fmt == "stencil" else tpu_run
-        ndof, dt, iters, res, x, setup_s = run(48, tol, maxiter=3000)
+        if fmt == "stencil":
+            ndof, dt, iters, res, x, setup_s, _a, _s = tpu_run_stencil(
+                48, tol, maxiter=3000
+            )
+        else:
+            ndof, dt, iters, res, x, setup_s = tpu_run(48, tol, maxiter=3000)
         d = dict(ndof=ndof, dt=dt, iters=iters, res=res,
                  umax=float(np.max(x)), setup_s=setup_s)
         d["note"] = "TPU unavailable: measured on CPU backend"
@@ -1318,6 +1833,84 @@ def main():
                 "tpu": d_bf,
             }
 
+    # UNSTRUCTURED record (VERDICT r3 item 5): the generic
+    # gather/segment-sum + SA-AMG path on a >= 1M-dof perturbed tet mesh
+    # with its own same-size same-algorithm CPU mirror — the number the
+    # reference's actual (gmsh) meshes correspond to
+    unstr = None
+    if (
+        os.environ.get("BENCH_UNSTR", "1") == "1"
+        and fmt == "stencil"
+        and tunnel_ok
+        and time.perf_counter() - t_main0 < 1500
+    ):
+        n_u = int(os.environ.get("BENCH_N_UNSTR", "100"))  # 1.03M dofs
+        d_u = _run_child("--tpu-child-unstr", n_u, 900)
+        if d_u is None:
+            n_u = 64  # 274k fallback so SOME generic-path number records
+            d_u = _run_child("--tpu-child-unstr", n_u, 480)
+        if d_u is not None:
+            n_uc = int(os.environ.get("BENCH_N_UNSTR_CPU", str(n_u)))
+            ndof_cu, dt_cu, it_cu, x_cu = cpu_baseline_unstructured(
+                n_uc, tol, maxiter=500
+            )
+            umax_cu = float(np.max(x_cu))
+            unstr = {
+                "metric": "poisson3d_p1_UNSTRUCTURED_amg_pcg_solve",
+                "mesh": "perturbed+permuted tets (no lattice structure)",
+                "dofs_per_sec": round(d_u["ndof"] / d_u["dt"], 1),
+                "vs_baseline": round(
+                    (d_u["ndof"] / d_u["dt"]) / (ndof_cu / dt_cu), 3
+                ),
+                "umax_rel_diff_vs_cpu": round(
+                    abs(d_u["umax"] - umax_cu) / max(abs(umax_cu), 1e-30), 6
+                ),
+                "tpu": d_u,
+                "cpu_numpy_amg": {
+                    "ndof": ndof_cu,
+                    "wall_s": round(dt_cu, 4),
+                    "pcg_iters": it_cu,
+                    "u_max": umax_cu,
+                },
+            }
+
+    # per-phase PROFILE of the headline solve (VERDICT r3 item 4): time
+    # the fine matvec, the GMG V-cycle and the dot reduction each as a
+    # chain of REPS dependent applications inside ONE dispatch
+    # (bench_profile.py) and record the breakdown — the evidence for
+    # where the solve wall goes relative to the HBM roofline
+    profile = None
+    if (
+        os.environ.get("BENCH_PROFILE", "1") == "1"
+        and fmt == "stencil"
+        and tunnel_ok
+        and d is not None
+        and time.perf_counter() - t_main0 < 1700
+    ):
+        import subprocess
+
+        try:
+            pr = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "bench_profile.py",
+                    ),
+                ],
+                capture_output=True,
+                timeout=420,
+                text=True,
+                env={**os.environ, "PROF_N": str(n_used or 104)},
+            )
+            for line in pr.stdout.splitlines():
+                if line.startswith("{"):
+                    profile = json.loads(line)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("bench profile child timed out\n")
+        except Exception as e:  # profile is evidence, never a blocker
+            sys.stderr.write(f"bench profile child failed: {e}\n")
+
     # optional UPGRADE pass: after the >= 1M record and the elasticity
     # variant are safely in hand, try the 2.1M-dof size with its own
     # bounded budget; on success it replaces the headline, on timeout the
@@ -1362,7 +1955,7 @@ def main():
         "detail": {
             "format": fmt,
             "preconditioner": os.environ.get("BENCH_PC", "gmg"),
-            "assembly_kernel": os.environ.get("BENCH_ASSEMBLY", "pallas-sym"),
+            "assembly_kernel": os.environ.get("BENCH_ASSEMBLY", "factored"),
             "tpu": {
                 "ndof": ndof,
                 "wall_s": round(dt, 4),
@@ -1377,10 +1970,38 @@ def main():
                 "pcg_iters": iters_c,
                 "u_max": umax_cpu,
             },
+            "phases": None,  # filled below when the child recorded them
         },
     }
+    if d.get("assembly_ms") is not None:
+        cpu_ph = getattr(cpu_run, "last_phases", None)
+        result["detail"]["phases"] = {
+            "what": (
+                "assembly | solve, each timed as %s seed-distinct reps in "
+                "ONE dispatch; headline dt stays end-to-end "
+                "(assembly+solve, the BASELINE.json metric)"
+                % os.environ.get("BENCH_REPS", "4")
+            ),
+            "tpu_assembly_ms": d["assembly_ms"],
+            "tpu_solve_ms": d["solve_ms"],
+            "tpu_solve_dofs_per_sec": d.get("solve_dofs_per_sec"),
+        }
+        if cpu_ph is not None:
+            result["detail"]["phases"]["cpu_assembly_ms"] = cpu_ph[0]
+            result["detail"]["phases"]["cpu_solve_ms"] = cpu_ph[1]
+            if d.get("solve_dofs_per_sec") and dt_c:
+                result["detail"]["phases"]["solve_vs_baseline"] = round(
+                    d["solve_dofs_per_sec"]
+                    / (ndof_c / (cpu_ph[1] * 1e-3)), 3
+                )
+    else:
+        del result["detail"]["phases"]
     if elas is not None:
         result["detail"]["elasticity3d"] = elas
+    if unstr is not None:
+        result["detail"]["unstructured"] = unstr
+    if profile is not None:
+        result["detail"]["profile"] = profile
     if bf16_rec is not None:
         result["detail"]["bf16"] = bf16_rec
     elif fmt == "stencil":

@@ -53,6 +53,11 @@ from .solver_base import SolverBase, SolverError
 
 
 class CoupledNavierStokesSolver(SolverBase):
+    # default distributed-fieldsplit variant: sharded momentum SA-AMG
+    # V-cycle ("amg"); subclasses whose momentum proxy assumptions break
+    # (e.g. DG — see NSDGSolver) override to the Jacobi/mass diagonal.
+    _dist_fieldsplit_default = "amg"
+
     def __init__(self, case_input):
         self.solving_temperature = case_input.get("solving_temperature", False)
         SolverBase.__init__(self, case_input)
@@ -1457,16 +1462,25 @@ class CoupledNavierStokesSolver(SolverBase):
         values rank-locally inside the mixed program.  Returns the
         ``solve_krylov`` kwargs (M_build/extra_args/extra_specs/prec_key).
 
-        The applied M mirrors the serial fieldsplit triangular composition
-        (:meth:`_fieldsplit prec <_build_fieldsplit_preconditioner>`):
-        z_p = Schur-diag r_p; z_u = AMG-V(r_u - (J z_p-embedding)_u);
-        Jacobi elsewhere; identity on constrained dofs.  Reference analog:
-        bicgstab+hypre_amg under MPI
+        The applied M mirrors the serial fieldsplit composition
+        (:meth:`_build_fieldsplit_preconditioner`) term by term:
+        z_p = Schur-diag r_p (rho^2 nu / m_p lumped mass); the momentum
+        solve on r_u - (J z_p-embedding)_u is V(proxy) -> exact dense
+        boundary-block correction -> second V(proxy) with the TRUE
+        advective momentum residual (multiplicative), where the V-cycles
+        run the sharded SA-AMG hierarchy built on the SPD *viscous proxy*
+        A_hat = 2 nu eps:eps + (1/dt) m — NOT on the advective J_uu (the
+        true block is mildly indefinite at open boundaries and its
+        Chebyshev spectrum bounds do not hold; round 4 measured single-V-
+        on-J_uu outer counts 83/178/~400 across nx=12/20/28 vs the serial
+        composition's flat ~63).  Jacobi elsewhere; identity on
+        constrained dofs.  Reference analog: bicgstab+hypre_amg under MPI
         (examples/test_flow_pass_cylinder.py:249-254)."""
         import jax as _jax
         from jax.sharding import PartitionSpec as P
 
         from ..la.amg import rigid_body_modes
+        from ..ops import assembly as _asm
         from ..parallel.amg_halo import HaloAMGSolver, build_vcycle
         from ..parallel.halo import AXIS
 
@@ -1476,22 +1490,32 @@ class CoupledNavierStokesSolver(SolverBase):
         free_np = np.asarray(free)
         su_ids = np.arange(su.start, su.stop)
         free_u = free_np[su_ids] > 0.5
-        Js = J.to_scipy()
-        J_uu = Js[su_ids][:, su_ids].tocsr()
-        mkey = (getattr(hs, "_pattern_key", None), hash(free_u.tobytes()))
+        nu0 = float(self.material["kinematic_viscosity"])
+        dt_inv = float(getattr(self, "_pcd_dt_inv", 0.0))
+        mkey = (
+            getattr(hs, "_pattern_key", None), hash(free_u.tobytes()),
+            dt_inv, getattr(self.mesh, "geometry_version", 0),
+        )
         hm = getattr(self, "_ns_mom_amg", None)
         if hm is None or getattr(hm, "_mixed_key", None) != mkey:
             MF = su_ids[free_u]
             owner_u_free = hs._owner[MF]
             ns = rigid_body_modes(V.scalar_space.dof_coords, V.vdim)
+            # geometry-only viscous proxy: the hierarchy is REUSED across
+            # Newton/Picard iterations and transient steps (no
+            # update_values — the proxy does not depend on the iterate)
+            A2 = self._visc_mass_matrix(V, self.vel_degree, nu0, dt_inv)
+            A2c = _asm.constrain_csr(
+                A2, jnp.asarray(free_u.astype(np.float64))
+            )
             hm = HaloAMGSolver(
-                J_uu, W.dof_coords[su_ids], free_u.astype(np.float64),
-                nullspace=ns, owner=owner_u_free,
+                A2c.to_scipy(), W.dof_coords[su_ids],
+                free_u.astype(np.float64), nullspace=ns, owner=owner_u_free,
             )
             hm._mixed_key = mkey
             # mixed-local slot of each momentum-AMG owned dof (owners are
             # aligned by construction, so every slot is an OWNED mixed
-            # slot; padding points at the mixed dummy slot, never read)
+            # slot; padding points at the mixed dummy slot, masked out)
             nd = hs.n_dev
             n_own_m = hm._lay[0]["n_own_max"]
             u2loc = np.full((nd, max(n_own_m, 1)), hs.Lp - 1, dtype=np.int32)
@@ -1499,19 +1523,44 @@ class CoupledNavierStokesSolver(SolverBase):
                 ids = hm._lay[0]["owned"][r]  # indices into MF
                 u2loc[r, : len(ids)] = hs._l2l[r](MF[ids])
             hm._u2loc = u2loc
-            # free-pressure selector over mixed OWNED local slots
+            # free-pressure / free-momentum selectors over mixed OWNED
+            # local slots
             slp = W.slice_of(1)
             is_p_free = np.zeros(W.ndof, dtype=np.float64)
             pr = np.arange(slp.start, slp.stop)
             is_p_free[pr] = (free_np[pr] > 0.5).astype(np.float64)
+            is_u_free = np.zeros(W.ndof, dtype=np.float64)
+            is_u_free[MF] = 1.0
             p_sel = np.zeros((nd, hs.Lp))
+            u_sel = np.zeros((nd, hs.Lp))
             for r in range(nd):
                 ow = hs._owned[r]
                 p_sel[r, : len(ow)] = is_p_free[ow]
+                u_sel[r, : len(ow)] = is_u_free[ow]
             hm._p_sel = p_sel
+            hm._u_sel = u_sel
             self._ns_mom_amg = hm
+
+        # exact dense boundary-block correction from the TRUE Jacobian
+        # (refreshed every call — convection changes per Newton step);
+        # carries the indefinite open-boundary viscous terms the SPD
+        # hierarchy cannot (serial: _momentum_bcorr)
+        bcorr = self._momentum_bcorr(J, free, su)
+        nd = hs.n_dev
+        if bcorr is not None:
+            bdofs_u, A_bb_inv = bcorr
+            g_b = (su.start or 0) + np.asarray(bdofs_u)
+            nb = len(g_b)
+            owner_b = hs._owner[g_b]
+            loc_b = np.full((nd, nb), hs.Lp - 1, dtype=np.int32)
+            own_b = np.zeros((nd, nb))
+            for r in range(nd):
+                mine = owner_b == r
+                if mine.any():
+                    loc_b[r, mine] = hs._l2l[r](g_b[mine])
+                    own_b[r, mine] = 1.0
         else:
-            hm.update_values(J_uu)
+            nb = 0
 
         static = hm.vcycle_static()
         la = hm.level_args(dtype)
@@ -1526,8 +1575,19 @@ class CoupledNavierStokesSolver(SolverBase):
                 jnp.asarray(hm._coarse_loc2glob),
             ]
             specs += [P(), P(AXIS)]
-        extra += [jnp.asarray(hm._u2loc), jnp.asarray(hm._p_sel, dtype=dtype)]
-        specs += [P(AXIS), P(AXIS)]
+        extra += [
+            jnp.asarray(hm._u2loc),
+            jnp.asarray(hm._p_sel, dtype=dtype),
+            jnp.asarray(hm._u_sel, dtype=dtype),
+        ]
+        specs += [P(AXIS), P(AXIS), P(AXIS)]
+        if nb:
+            extra += [
+                jnp.asarray(loc_b),
+                jnp.asarray(own_b, dtype=dtype),
+                jnp.asarray(A_bb_inv, dtype=dtype),
+            ]
+            specs += [P(AXIS), P(AXIS), P()]
         n_own_m = static["lay"][0]["n_own_max"]
         Lp_m = static["lay"][0]["Lp"]
 
@@ -1542,10 +1602,33 @@ class CoupledNavierStokesSolver(SolverBase):
             else:
                 pinv_args = ()
                 l2g_args = ()
-            u2loc, p_sel = ex[idx], ex[idx + 1]
+            u2loc, p_sel, u_sel = ex[idx], ex[idx + 1], ex[idx + 2]
+            idx += 3
+            if nb:
+                loc_b_l, own_b_l, Abb = ex[idx], ex[idx + 1], ex[idx + 2]
             vcyc, _ = build_vcycle(static, level_args, pinv_args, l2g_args)
             own, fr, inv_pd = h["own"], h["free"], h["inv_pd"]
             exchange, spmv_own = h["exchange"], h["spmv_own"]
+
+            def vcyc_mixed(rm):
+                # V-cycle on the momentum part of a mixed-layout vector,
+                # result scattered back into mixed layout (owned free
+                # momentum slots only; the dummy padding slot is masked)
+                rum = (
+                    jnp.zeros(Lp_m, dtype=rm.dtype)
+                    .at[:n_own_m]
+                    .set(rm[u2loc])
+                )
+                zu = vcyc(rum)
+                return u_sel * (
+                    jnp.zeros_like(rm).at[u2loc].set(zu[:n_own_m])
+                )
+
+            def A_uu_m(xm):
+                # TRUE advective momentum block applied in mixed layout
+                # (xm is zero outside free momentum slots, so the mixed
+                # spmv restricted back to momentum rows IS J_uu @ x_u)
+                return u_sel * spmv_own(exchange(fr * xm))
 
             def M(r):
                 z = own * (inv_pd * r)  # Jacobi/Schur-diag everywhere
@@ -1553,20 +1636,27 @@ class CoupledNavierStokesSolver(SolverBase):
                 # triangular coupling: momentum rows of J applied to the
                 # pressure correction (constrained-masked, owned-only)
                 y = own * (fr * spmv_own(exchange(fr * zp)))
-                rr = r - y
-                rum = (
-                    jnp.zeros(Lp_m, dtype=rr.dtype)
-                    .at[:n_own_m]
-                    .set(rr[u2loc])
-                )
-                zu = vcyc(rum)
-                z = z.at[u2loc].set(zu[:n_own_m])
+                ru = u_sel * (r - y)  # free-momentum mixed residual
+                xm = vcyc_mixed(ru)  # V-cycle 1 (viscous proxy)
+                if nb:
+                    # exact boundary-block solve on the TRUE residual:
+                    # psum-gather the touched dofs (replicated small
+                    # vector), dense solve, scatter-add owned entries
+                    r2 = ru - A_uu_m(xm)
+                    rb = _jax.lax.psum(own_b_l * r2[loc_b_l], AXIS)
+                    db = Abb @ rb
+                    xm = xm + u_sel * (
+                        jnp.zeros_like(xm).at[loc_b_l].add(own_b_l * db)
+                    )
+                # V-cycle 2, multiplicative on the true advective residual
+                xm = xm + vcyc_mixed(ru - A_uu_m(xm))
+                z = z * (1.0 - u_sel) + xm
                 return own * (fr * z + (1.0 - fr) * r)
 
             return M
 
         prec_key = (
-            "fsamg",
+            "fsamg2",
             static["L"],
             tuple(
                 (d["Lp"], d["n_own_max"], len(d["perms"]))
@@ -1574,6 +1664,7 @@ class CoupledNavierStokesSolver(SolverBase):
             ),
             use_pinv,
             n_flat,
+            nb,
         )
         return dict(
             M_build=M_build,
@@ -1605,13 +1696,21 @@ class CoupledNavierStokesSolver(SolverBase):
         else:
             hs.update_values(J)
         # fieldsplit-diagonal: |diag J| on momentum (the pressure diagonal
-        # is zero), (rho/mu) lumped pressure mass on the Schur block
+        # is zero), viscosity-scaled lumped pressure mass on the Schur
+        # block — the scaling MUST match the serial fieldsplit's
+        # inv_p_mass = rho^2 nu / m_p (_build_fieldsplit_preconditioner):
+        # the momentum residual carries rho (rho du/dt + rho u.grad u ...)
+        # and the Schur complement B A^-1 B^T scales as m_p/(rho^2 nu).
+        # Round 4 found the unscaled m_p/nu variant 1e6x too weak at
+        # rho=1000 — the outer FGMRES stalled at rel res ~1.0 on every
+        # advective Jacobian past ~1k dofs.
         nu = float(self.material["kinematic_viscosity"])
+        rho = float(self.material["density"])
         diag = np.abs(np.asarray(free * J.diagonal() + (1.0 - free)))
         slp = W.slice_of(1)
         mp = np.asarray(self._pressure_mass_diag())
         diag[slp] = np.where(
-            np.asarray(free)[slp] > 0.5, mp / max(nu, 1e-12), 1.0
+            np.asarray(free)[slp] > 0.5, mp / max(rho * rho * nu, 1e-300), 1.0
         )
         sp = self._solver_params()
         restart = int(sp.get("gmres_restart", 120))
@@ -1622,7 +1721,10 @@ class CoupledNavierStokesSolver(SolverBase):
         # evidence).  ``fieldsplit_distributed = "diag"`` keeps the old
         # Jacobi/mass diagonal; AMG setup failures fall back to it loudly.
         prec_kwargs = {}
-        if sp.get("fieldsplit_distributed", "amg") == "amg":
+        if (
+            sp.get("fieldsplit_distributed", self._dist_fieldsplit_default)
+            == "amg"
+        ):
             try:
                 prec_kwargs = self._distributed_fieldsplit_amg(
                     J, hs, free, jnp.asarray(b).dtype

@@ -42,6 +42,16 @@ from .solver_base import SolverError
 
 
 class NSDGSolver(CoupledNavierStokesSolver):
+    # Distributed saddle solves use the fieldsplit DIAGONAL by default:
+    # the parent's momentum-AMG proxy (_visc_mass_matrix) assembles the
+    # cell-local (broken) viscous operator, which on a DG space has no
+    # SIPG jump coupling — for a static case it is block-diagonal with a
+    # per-cell rigid-body nullspace, so the SA-AMG V-cycle built on it is
+    # singular and stalls the outer FGMRES.  A DG-aware proxy (broken +
+    # penalty jumps) is a possible upgrade; `fieldsplit_distributed:
+    # "amg"` opts in explicitly for experimentation.
+    _dist_fieldsplit_default = "diag"
+
     def __init__(self, case_input):
         case_input = dict(case_input)
         case_input["fe_family"] = "DG"

@@ -132,6 +132,12 @@ def test_distributed_dg_ns_matches_serial():
     dist = NSDGSolver(s2)
     up_dist = dist.solve()
     assert getattr(dist, "_ns_halo_solver", None) is not None
+    # DG must default to the fieldsplit DIAGONAL: the CG momentum-AMG
+    # proxy (_visc_mass_matrix) is the BROKEN viscous operator on a DG
+    # space — per-cell rigid-body nullspace, singular V-cycle, measured
+    # outer-FGMRES stall (round-4 regression)
+    assert NSDGSolver._dist_fieldsplit_default == "diag"
+    assert getattr(dist, "_ns_mom_amg", None) is None
     err = np.linalg.norm(
         up_dist.values - up_serial.values
     ) / np.linalg.norm(up_serial.values)

@@ -99,6 +99,42 @@ def test_variable_stencil_assembly_matches_generic():
     assert err_b < 1e-12, err_b
 
 
+def test_factored_scalar_tables_match_generic():
+    """The geometry-factorized scalar assembly (46 grouped pads of 60
+    weighted per-type coefficient-field terms, ``scalar_stencil_tables``)
+    must reproduce the generic 96-entry slice-add assembly exactly for an
+    ARBITRARY per-cell coefficient field — the correctness anchor for the
+    bench's BENCH_ASSEMBLY=factored default."""
+    from fenicssolver_tpu.ops.structured import (
+        scalar_stencil_tables,
+        stencil_entry_table,
+    )
+
+    n = 5
+    N = n + 1
+    rng = np.random.default_rng(3)
+    Jinv, detJ = box_tet_geometry(n, n, n, dtype=np.float64)
+    detJ = detJ * (1.0 + 0.4 * rng.random(detJ.shape))  # per-cell variation
+    gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    g = np.einsum("kt,ctg->ckg", gref, Jinv)
+    Ae = np.einsum("cig,cjg,c->ijc", g, g, detJ / 6.0)
+    Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+    coef_ref = np.zeros((len(gmg.OFFSETS_T), N, N, N))
+    for t, a, bb, oi, ca in stencil_entry_table():
+        coef_ref[oi, ca[0]:ca[0] + n, ca[1]:ca[1] + n, ca[2]:ca[2] + n] += (
+            Ae6[a, bb, t]
+        )
+    _, det_t = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
+                                dtype=np.float64)
+    s6 = detJ.reshape(6, n, n, n) / det_t[:, None, None, None]
+    coef_f = np.zeros_like(coef_ref)
+    for oi, ca, w in scalar_stencil_tables(n, n, n):
+        blk = sum(w[t] * s6[t] for t in range(6) if abs(w[t]) > 1e-14)
+        coef_f[oi, ca[0]:ca[0] + n, ca[1]:ca[1] + n, ca[2]:ca[2] + n] += blk
+    err = np.abs(coef_f - coef_ref).max() / np.abs(coef_ref).max()
+    assert err < 1e-13, err
+
+
 def test_transfer_adjointness():
     """restrict3 == prolong3^T (required for an SPD V-cycle)."""
     rng = np.random.default_rng(1)
