@@ -33,11 +33,22 @@ FEniCS/PETSc-with-AMG stack, which is not installed in this image
 (BASELINE.md: baseline is *measured*).  Same algorithm on both sides, so
 ``vs_baseline`` measures hardware + implementation, not iteration counts.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the result as a JSON line {"metric", "value", "unit",
+"vs_baseline"} — EMITTED PROGRESSIVELY (round-5 artifact hardening; the
+round-4 run measured a ~100M dofs/s headline and then lost it to a
+driver kill because the single print sat at the very end): the full
+record is printed immediately after the primary measurement with a
+cached CPU mirror, re-printed once the same-size mirror is measured,
+and re-printed after each optional pass (elasticity / unstructured /
+profile / upgrade) lands.  The driver keeps the LAST parseable line, so
+every re-print strictly enriches the record.  A SIGTERM/SIGINT handler
+flushes the best-so-far record before dying, and one global deadline
+(BENCH_DEADLINE, default 1500 s) gates every optional pass.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -49,6 +60,58 @@ import numpy as np
 def _log(msg):
     sys.stderr.write(f"[bench] {msg}\n")
     sys.stderr.flush()
+
+
+# --- artifact-proofing state (round-5 VERDICT items 1/5/8) ---------------
+_RESULT = None  # best-so-far record; _emit() prints it as one JSON line
+_T0 = time.perf_counter()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "1500"))
+
+
+def _left():
+    """Seconds remaining before the global deadline."""
+    return _DEADLINE_S - (time.perf_counter() - _T0)
+
+
+def _emit(tag=""):
+    """Print the current best-so-far record as one JSON line.  Called
+    after every pass that lands; the driver keeps the last parseable
+    line, so each emission strictly enriches the previous one."""
+    if _RESULT is not None:
+        sys.stdout.write(json.dumps(_RESULT) + "\n")
+        sys.stdout.flush()
+        if tag:
+            _log(f"record emitted ({tag})")
+
+
+def _install_flush_handlers():
+    """SIGTERM/SIGINT/SIGHUP: flush the best-so-far record, then die.
+    The round-4 artifact was empty because a driver kill landed between
+    the (successful) primary measurement and the end-of-process print."""
+
+    def h(signum, frame):
+        sys.stderr.write(
+            f"[bench] signal {signum}: flushing best-so-far record\n"
+        )
+        sys.stderr.flush()
+        _emit("signal flush")
+        os._exit(0)
+
+    for s in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(s, h)
+        except (ValueError, OSError):
+            pass
+
+
+# same-size same-algorithm CPU mirror measured in round 3
+# (BENCH_r03.json, cpu_scipy_gmg at n=128): the provisional vs_baseline
+# anchor printed with the FIRST emission, replaced by a freshly measured
+# same-size mirror as soon as it completes
+_CACHED_CPU_MIRROR = {
+    128: dict(ndof=2146689, wall_s=84.8037, pcg_iters=7,
+              u_max=0.05620760176173512),
+}
 
 
 def build_problem(n, dtype=np.float32):
@@ -1682,7 +1745,6 @@ def _run_elas_child(n, tol, timeout_s=480):
 
 
 def main():
-    globals()["_MAIN_T0"] = time.perf_counter()
     tol = 1e-6
     if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child":
         _child_main(int(sys.argv[2]), tol)
@@ -1717,6 +1779,8 @@ def main():
         )
         return
 
+    global _RESULT
+    _install_flush_handlers()
     fmt = os.environ.get("BENCH_FORMAT", "stencil")
     # RECORD-FIRST sizing (round-2 lesson: the n=128 primary burned its
     # whole 540 s budget on a slow tunnel, fell back to 0.91M and the
@@ -1725,7 +1789,6 @@ def main():
     # >= 1M size (n=104 -> 1.158M dofs); n=128 (2.1M) runs LAST as an
     # optional upgrade pass with its own bounded budget.
     n_tpu = int(os.environ.get("BENCH_N", "104" if fmt == "stencil" else "96"))
-    n_cpu = int(os.environ.get("BENCH_N_CPU", str(min(n_tpu, 64))))
     sizes = sorted({n_tpu, 96, 64, 48}, reverse=True)
     sizes = [s for s in sizes if s <= n_tpu]
     tunnel_ok = _tunnel_probe()
@@ -1757,30 +1820,189 @@ def main():
         d = dict(ndof=ndof, dt=dt, iters=iters, res=res,
                  umax=float(np.max(x)), setup_s=setup_s)
         d["note"] = "TPU unavailable: measured on CPU backend"
+        n_used = 48
     ndof, dt, iters, res = d["ndof"], d["dt"], d["iters"], d["res"]
     umax_tpu_val = d["umax"]
     tpu_dofs_per_sec = ndof / dt
+    cpu_run = cpu_baseline_stencil if fmt == "stencil" else cpu_baseline
 
-    # vector-elasticity variant (ROADMAP perf item 3): recorded in detail
-    # with its OWN time budget — independent of primary-attempt overruns
-    # (round 2's elapsed-time gate erased it from the artifact)
-    elas = None
+    def _headline(dd, mirror, vs, vs_note=None):
+        r = {
+            "metric": (
+                "poisson3d_p1_assembly+pcg_throughput_at_%.2gMdof"
+                % (dd["ndof"] / 1e6)
+            ),
+            "value": round(dd["ndof"] / dd["dt"], 1),
+            "unit": "dofs/sec",
+            "vs_baseline": round(vs, 3),
+            "detail": {
+                "format": fmt,
+                "preconditioner": os.environ.get("BENCH_PC", "gmg"),
+                "assembly_kernel": os.environ.get(
+                    "BENCH_ASSEMBLY", "factored"
+                ),
+                "tpu": {
+                    "ndof": dd["ndof"],
+                    "wall_s": round(dd["dt"], 4),
+                    "pcg_iters": dd["iters"],
+                    "rel_res": dd["res"],
+                    "u_max": dd["umax"],
+                    "setup_s": dd.get("setup_s"),
+                },
+                "cpu_scipy_gmg": mirror,
+            },
+        }
+        if vs_note:
+            r["detail"]["vs_baseline_note"] = vs_note
+        if dd.get("assembly_ms") is not None:
+            r["detail"]["phases"] = {
+                "what": (
+                    "assembly | solve, each timed as %s seed-distinct reps "
+                    "in ONE dispatch; the two phase chains each pay their "
+                    "own dispatch/materialization overhead so they sum to "
+                    "MORE than the end-to-end headline dt, which fuses "
+                    "both (assembly+solve, the BASELINE.json metric)"
+                    % os.environ.get("BENCH_REPS", "4")
+                ),
+                "tpu_assembly_ms": dd["assembly_ms"],
+                "tpu_solve_ms": dd["solve_ms"],
+                "tpu_solve_dofs_per_sec": dd.get("solve_dofs_per_sec"),
+            }
+        if fmt == "stencil":
+            # self-describing retirement note (VERDICT r3 weak-5: the
+            # artifact must show bf16 was measured-and-rejected)
+            r["detail"]["bf16"] = {
+                "status": "measured-and-retired (round 3)",
+                "reason": (
+                    "native-bf16 arithmetic loses the cancelled 15-tap "
+                    "stencil sums entirely (residual diverged to 5.0 on "
+                    "real TPU); the correct f32-compute/bf16-storage "
+                    "fallback halves operand bytes but is not faster on "
+                    "this VMEM-resident, latency-bound path"
+                ),
+                "opt_in": "BENCH_BF16=1 re-measures the f32-refined variant",
+            }
+        if "note" in dd:
+            r["detail"]["note"] = dd["note"]
+        return r
+
+    # ---- FIRST emission: primary + cached mirror (survives any kill
+    # from here on; VERDICT r4 item 1) ----
+    cm = _CACHED_CPU_MIRROR.get(128)
+    if fmt == "stencil" and cm is not None:
+        mirror0 = dict(cm)
+        mirror0["mirror"] = "cached(round3, n=128, same algorithm)"
+        vs0 = tpu_dofs_per_sec / (cm["ndof"] / cm["wall_s"])
+        note0 = (
+            "provisional: cached round-3 CPU mirror (n=128); replaced by "
+            "a freshly measured same-size mirror below"
+            if n_used != 128 else None
+        )
+    else:
+        mirror0 = {"mirror": "pending"}
+        vs0 = 0.0
+        note0 = "provisional: CPU mirror pending"
+    _RESULT = _headline(d, mirror0, vs0, note0)
+    _emit("primary")
+
+    # ---- measured same-size CPU mirror (same algorithm, same dof count
+    # -> vs_baseline is a direct hardware+implementation ratio) ----
+    n_cpu = int(os.environ.get("BENCH_N_CPU", str(n_used)))
+    ndof_c, dt_c, iters_c, x_c = cpu_run(n_cpu, tol, maxiter=3000)
+    mirror = {
+        "ndof": ndof_c,
+        "wall_s": round(dt_c, 4),
+        "pcg_iters": iters_c,
+        "u_max": float(np.max(x_c)),
+    }
+    _RESULT = _headline(d, mirror, tpu_dofs_per_sec / (ndof_c / dt_c))
+    cpu_ph = getattr(cpu_run, "last_phases", None)
+    if d.get("assembly_ms") is not None and cpu_ph is not None:
+        ph = _RESULT["detail"]["phases"]
+        ph["cpu_assembly_ms"] = cpu_ph[0]
+        ph["cpu_solve_ms"] = cpu_ph[1]
+        if d.get("solve_dofs_per_sec"):
+            ph["solve_vs_baseline"] = round(
+                d["solve_dofs_per_sec"] / (ndof_c / (cpu_ph[1] * 1e-3)), 3
+            )
+    _emit("cpu mirror")
+
+    # ---- optional passes: each gated on the global deadline, each
+    # re-emitting the enriched record as soon as it lands ----
+
+    # UNSTRUCTURED record (VERDICT r3 item 5 / r4 item 5): the generic
+    # gather/segment-sum + SA-AMG path on a >= 1M-dof perturbed tet mesh
+    # — the number the reference's actual (gmsh) meshes correspond to
+    if (
+        os.environ.get("BENCH_UNSTR", "1") == "1"
+        and fmt == "stencil"
+        and tunnel_ok
+        and _left() > 240
+    ):
+        n_u = int(os.environ.get("BENCH_N_UNSTR", "100"))  # 1.03M dofs
+        d_u = _run_child("--tpu-child-unstr", n_u,
+                         min(900, max(120, _left() - 120)))
+        if d_u is None and _left() > 240:
+            n_u = 64  # 274k fallback so SOME generic-path number records
+            d_u = _run_child("--tpu-child-unstr", n_u,
+                             min(480, max(120, _left() - 90)))
+        if d_u is not None:
+            # same-size mirror when time permits; smaller mirror + note
+            # otherwise (the mirror must never cost the record)
+            n_uc = int(os.environ.get(
+                "BENCH_N_UNSTR_CPU", str(n_u if _left() > 300 else 64)
+            ))
+            ndof_cu, dt_cu, it_cu, x_cu = cpu_baseline_unstructured(
+                n_uc, tol, maxiter=500
+            )
+            umax_cu = float(np.max(x_cu))
+            unstr = {
+                "metric": "poisson3d_p1_UNSTRUCTURED_amg_pcg_solve",
+                "mesh": "perturbed+permuted tets (no lattice structure)",
+                "dofs_per_sec": round(d_u["ndof"] / d_u["dt"], 1),
+                "vs_baseline": round(
+                    (d_u["ndof"] / d_u["dt"]) / (ndof_cu / dt_cu), 3
+                ),
+                "tpu": d_u,
+                "cpu_numpy_amg": {
+                    "ndof": ndof_cu,
+                    "wall_s": round(dt_cu, 4),
+                    "pcg_iters": it_cu,
+                    "u_max": umax_cu,
+                },
+            }
+            if n_uc == n_u:
+                unstr["umax_rel_diff_vs_cpu"] = round(
+                    abs(d_u["umax"] - umax_cu) / max(abs(umax_cu), 1e-30), 6
+                )
+            else:
+                unstr["mirror_note"] = (
+                    "CPU mirror at smaller size (deadline guard); "
+                    "vs_baseline compares dofs/s across sizes"
+                )
+            _RESULT["detail"]["unstructured"] = unstr
+            _emit("unstructured")
+
+    # vector-elasticity variant (ROADMAP perf item 3)
     if (
         os.environ.get("BENCH_ELAS", "1") == "1"
         and fmt == "stencil"
         and tunnel_ok  # wedged tunnel: don't burn budget on more children
+        and _left() > 200
     ):
         n_e = int(os.environ.get("BENCH_N_ELAS", "80"))  # 3*81^3 = 1.59M dofs
-        d_e = _run_elas_child(n_e, tol)
-        if d_e is None:  # one smaller retry so the variant still records
+        d_e = _run_elas_child(n_e, tol,
+                              timeout_s=min(480, max(120, _left() - 90)))
+        if d_e is None and _left() > 200:  # one smaller retry
             n_e = 64
-            d_e = _run_elas_child(n_e, tol, timeout_s=240)
+            d_e = _run_elas_child(n_e, tol,
+                                  timeout_s=min(240, max(90, _left() - 60)))
         if d_e is not None:
             ndof_ce, dt_ce, it_ce, x_ce = cpu_baseline_elasticity(
                 int(os.environ.get("BENCH_N_ELAS_CPU", str(n_e))), tol,
                 maxiter=3000,
             )
-            elas = {
+            _RESULT["detail"]["elasticity3d"] = {
                 "metric": "elasticity3d_p1_assembly+pcg_throughput",
                 "dofs_per_sec": round(d_e["ndof"] / d_e["dt"], 1),
                 "vs_baseline": round(
@@ -1794,98 +2016,16 @@ def main():
                     "u_max": float(np.abs(x_ce).max()),
                 },
             }
+            _emit("elasticity")
 
-    # bf16 mixed-precision variant at the SAME recorded size (VERDICT r2
-    # item 5): f32-refined bf16 GMG-PCG, same u_max check; recorded in
-    # detail whatever the speedup turns out to be
-    t_main0 = globals().get("_MAIN_T0", time.perf_counter())
-    bf16_rec = None
-    if (
-        os.environ.get("BENCH_BF16", "0") == "1"
-        and fmt == "stencil"
-        and d is not None
-        and "note" not in d
-        # upgrades only with time to spare: the record + elasticity are
-        # already safe, don't let optional passes blow the driver budget
-        and time.perf_counter() - t_main0 < 1200
-    ):
-        d_bf = _run_child("--tpu-child-bf16", n_used, 420)
-        if d_bf is not None and (
-            abs(d_bf["umax"] - umax_tpu_val) / max(abs(umax_tpu_val), 1e-30)
-            > 1e-3
-        ):
-            sys.stderr.write(
-                "bf16 variant failed the u_max check; not recorded\n"
-            )
-            d_bf = None
-        if d_bf is not None:
-            bf16_rec = {
-                "dofs_per_sec": round(d_bf["ndof"] / d_bf["dt"], 1),
-                "speedup_vs_f32": round(
-                    (d_bf["ndof"] / d_bf["dt"]) / tpu_dofs_per_sec, 3
-                ),
-                # same-solution check: u_max agreement with the f32 run
-                "umax_rel_diff_vs_f32": round(
-                    abs(d_bf["umax"] - umax_tpu_val)
-                    / max(abs(umax_tpu_val), 1e-30),
-                    9,
-                ),
-                "tpu": d_bf,
-            }
-
-    # UNSTRUCTURED record (VERDICT r3 item 5): the generic
-    # gather/segment-sum + SA-AMG path on a >= 1M-dof perturbed tet mesh
-    # with its own same-size same-algorithm CPU mirror — the number the
-    # reference's actual (gmsh) meshes correspond to
-    unstr = None
-    if (
-        os.environ.get("BENCH_UNSTR", "1") == "1"
-        and fmt == "stencil"
-        and tunnel_ok
-        and time.perf_counter() - t_main0 < 1500
-    ):
-        n_u = int(os.environ.get("BENCH_N_UNSTR", "100"))  # 1.03M dofs
-        d_u = _run_child("--tpu-child-unstr", n_u, 900)
-        if d_u is None:
-            n_u = 64  # 274k fallback so SOME generic-path number records
-            d_u = _run_child("--tpu-child-unstr", n_u, 480)
-        if d_u is not None:
-            n_uc = int(os.environ.get("BENCH_N_UNSTR_CPU", str(n_u)))
-            ndof_cu, dt_cu, it_cu, x_cu = cpu_baseline_unstructured(
-                n_uc, tol, maxiter=500
-            )
-            umax_cu = float(np.max(x_cu))
-            unstr = {
-                "metric": "poisson3d_p1_UNSTRUCTURED_amg_pcg_solve",
-                "mesh": "perturbed+permuted tets (no lattice structure)",
-                "dofs_per_sec": round(d_u["ndof"] / d_u["dt"], 1),
-                "vs_baseline": round(
-                    (d_u["ndof"] / d_u["dt"]) / (ndof_cu / dt_cu), 3
-                ),
-                "umax_rel_diff_vs_cpu": round(
-                    abs(d_u["umax"] - umax_cu) / max(abs(umax_cu), 1e-30), 6
-                ),
-                "tpu": d_u,
-                "cpu_numpy_amg": {
-                    "ndof": ndof_cu,
-                    "wall_s": round(dt_cu, 4),
-                    "pcg_iters": it_cu,
-                    "u_max": umax_cu,
-                },
-            }
-
-    # per-phase PROFILE of the headline solve (VERDICT r3 item 4): time
-    # the fine matvec, the GMG V-cycle and the dot reduction each as a
-    # chain of REPS dependent applications inside ONE dispatch
-    # (bench_profile.py) and record the breakdown — the evidence for
-    # where the solve wall goes relative to the HBM roofline
-    profile = None
+    # per-phase PROFILE of the headline solve (VERDICT r4 item 8): the
+    # slope-method decomposition (matvec / V-cycle / dot per-apply costs +
+    # the dispatch constant) — the driver-visible roofline evidence
     if (
         os.environ.get("BENCH_PROFILE", "1") == "1"
         and fmt == "stencil"
         and tunnel_ok
-        and d is not None
-        and time.perf_counter() - t_main0 < 1700
+        and _left() > 180
     ):
         import subprocess
 
@@ -1899,130 +2039,121 @@ def main():
                     ),
                 ],
                 capture_output=True,
-                timeout=420,
+                timeout=min(420, max(120, _left() - 60)),
                 text=True,
                 env={**os.environ, "PROF_N": str(n_used or 104)},
             )
+            profile = None
             for line in pr.stdout.splitlines():
                 if line.startswith("{"):
                     profile = json.loads(line)
+            if profile is not None:
+                _RESULT["detail"]["profile"] = profile
+                _emit("profile")
         except subprocess.TimeoutExpired:
             sys.stderr.write("bench profile child timed out\n")
         except Exception as e:  # profile is evidence, never a blocker
             sys.stderr.write(f"bench profile child failed: {e}\n")
 
-    # optional UPGRADE pass: after the >= 1M record and the elasticity
-    # variant are safely in hand, try the 2.1M-dof size with its own
-    # bounded budget; on success it replaces the headline, on timeout the
-    # recorded numbers are untouched
+    # optional UPGRADE pass: with the >= 1M record already emitted, try
+    # the 2.1M-dof size; on success it replaces the headline (cached
+    # same-size round-3 mirror first, freshly measured mirror if time
+    # still permits), on timeout the emitted records are untouched
     n_up = int(os.environ.get("BENCH_N_UPGRADE", "128"))
-    upgrade = None
     if (
         os.environ.get("BENCH_UPGRADE", "1") == "1"
         and fmt == "stencil"
-        and d is not None
         and "note" not in d
         and n_up > n_used
-        and time.perf_counter() - t_main0 < 1500
+        and _left() > 240
     ):
-        d_up = _run_child("--tpu-child", n_up, 480)
+        d_up = _run_child("--tpu-child", n_up,
+                          min(480, max(120, _left() - 60)))
         if d_up is not None:
-            upgrade = d_up
-            d, n_used = d_up, n_up
-            ndof, dt, iters, res = d["ndof"], d["dt"], d["iters"], d["res"]
-            umax_tpu_val = d["umax"]
-            tpu_dofs_per_sec = ndof / dt
-
-    # CPU mirror at the SAME size as the recorded TPU run (same algorithm,
-    # same dof count -> vs_baseline is a direct hardware+implementation
-    # ratio; the old mirror ran a smaller size and compared throughputs
-    # across sizes — VERDICT r2 weak 8).  BENCH_N_CPU overrides.
-    n_cpu = int(os.environ.get("BENCH_N_CPU", str(n_used or n_cpu)))
-    cpu_run = cpu_baseline_stencil if fmt == "stencil" else cpu_baseline
-    ndof_c, dt_c, iters_c, x_c = cpu_run(n_cpu, tol, maxiter=3000)
-    cpu_dofs_per_sec = ndof_c / dt_c
-
-    # correctness spot check: both solve the same PDE; compare the solution
-    # max scale-invariantly (u_max ~ 0.0562 for the unit cube with f = 1)
-    umax_tpu = umax_tpu_val
-    umax_cpu = float(np.max(x_c))
-
-    result = {
-        "metric": "poisson3d_p1_assembly+pcg_throughput_at_%.2gMdof" % (ndof / 1e6),
-        "value": round(tpu_dofs_per_sec, 1),
-        "unit": "dofs/sec",
-        "vs_baseline": round(tpu_dofs_per_sec / cpu_dofs_per_sec, 3),
-        "detail": {
-            "format": fmt,
-            "preconditioner": os.environ.get("BENCH_PC", "gmg"),
-            "assembly_kernel": os.environ.get("BENCH_ASSEMBLY", "factored"),
-            "tpu": {
-                "ndof": ndof,
-                "wall_s": round(dt, 4),
-                "pcg_iters": iters,
-                "rel_res": res,
-                "u_max": umax_tpu,
-                "setup_s": d.get("setup_s"),
-            },
-            "cpu_scipy_gmg": {
-                "ndof": ndof_c,
-                "wall_s": round(dt_c, 4),
-                "pcg_iters": iters_c,
-                "u_max": umax_cpu,
-            },
-            "phases": None,  # filled below when the child recorded them
-        },
-    }
-    if d.get("assembly_ms") is not None:
-        cpu_ph = getattr(cpu_run, "last_phases", None)
-        result["detail"]["phases"] = {
-            "what": (
-                "assembly | solve, each timed as %s seed-distinct reps in "
-                "ONE dispatch; headline dt stays end-to-end "
-                "(assembly+solve, the BASELINE.json metric)"
-                % os.environ.get("BENCH_REPS", "4")
-            ),
-            "tpu_assembly_ms": d["assembly_ms"],
-            "tpu_solve_ms": d["solve_ms"],
-            "tpu_solve_dofs_per_sec": d.get("solve_dofs_per_sec"),
-        }
-        if cpu_ph is not None:
-            result["detail"]["phases"]["cpu_assembly_ms"] = cpu_ph[0]
-            result["detail"]["phases"]["cpu_solve_ms"] = cpu_ph[1]
-            if d.get("solve_dofs_per_sec") and dt_c:
-                result["detail"]["phases"]["solve_vs_baseline"] = round(
-                    d["solve_dofs_per_sec"]
-                    / (ndof_c / (cpu_ph[1] * 1e-3)), 3
+            detail_prev = _RESULT["detail"]
+            cm_up = _CACHED_CPU_MIRROR.get(n_up)
+            if cm_up is not None:
+                mirror_up = dict(cm_up)
+                mirror_up["mirror"] = "cached(round3, same size+algorithm)"
+                vs_up = (d_up["ndof"] / d_up["dt"]) / (
+                    cm_up["ndof"] / cm_up["wall_s"]
                 )
-    else:
-        del result["detail"]["phases"]
-    if elas is not None:
-        result["detail"]["elasticity3d"] = elas
-    if unstr is not None:
-        result["detail"]["unstructured"] = unstr
-    if profile is not None:
-        result["detail"]["profile"] = profile
-    if bf16_rec is not None:
-        result["detail"]["bf16"] = bf16_rec
-    elif fmt == "stencil":
-        # self-describing retirement note (VERDICT r3 weak-5: the artifact
-        # must show bf16 was measured-and-rejected, not skipped)
-        result["detail"]["bf16"] = {
-            "status": "measured-and-retired (round 3)",
-            "reason": (
-                "native-bf16 arithmetic loses the cancelled 15-tap stencil "
-                "sums entirely (residual diverged to 5.0 on real TPU); the "
-                "correct f32-compute/bf16-storage fallback halves operand "
-                "bytes but is not faster on this VMEM-resident, "
-                "latency-bound path"
-            ),
-            "opt_in": "BENCH_BF16=1 re-measures the f32-refined variant",
-        }
-    if upgrade is not None:
-        result["detail"]["upgrade_pass"] = "landed n=%d" % n_up
-    if "note" in d:
-        result["detail"]["note"] = d["note"]
-    print(json.dumps(result))
+            else:
+                mirror_up, vs_up = mirror, (d_up["ndof"] / d_up["dt"]) / (
+                    ndof_c / dt_c
+                )
+            new = _headline(d_up, mirror_up, vs_up)
+            # carry the already-landed extras forward
+            for key in ("unstructured", "elasticity3d", "profile", "bf16"):
+                if key in detail_prev:
+                    new["detail"][key] = detail_prev[key]
+            new["detail"]["upgrade_pass"] = "landed n=%d" % n_up
+            new["detail"]["previous_headline"] = {
+                "ndof": ndof, "dofs_per_sec": round(tpu_dofs_per_sec, 1),
+            }
+            _RESULT = new
+            d, n_used = d_up, n_up
+            umax_tpu_val = d["umax"]
+            tpu_dofs_per_sec = d["ndof"] / d["dt"]
+            _emit("upgrade (cached mirror)")
+            if _left() > 150:
+                ndof_c, dt_c, iters_c, x_c = cpu_run(n_up, tol, maxiter=3000)
+                _RESULT["detail"]["cpu_scipy_gmg"] = {
+                    "ndof": ndof_c,
+                    "wall_s": round(dt_c, 4),
+                    "pcg_iters": iters_c,
+                    "u_max": float(np.max(x_c)),
+                }
+                _RESULT["vs_baseline"] = round(
+                    tpu_dofs_per_sec / (ndof_c / dt_c), 3
+                )
+                cpu_ph = getattr(cpu_run, "last_phases", None)
+                if d.get("assembly_ms") is not None and cpu_ph is not None:
+                    ph = _RESULT["detail"].get("phases")
+                    if ph is not None:
+                        ph["cpu_assembly_ms"] = cpu_ph[0]
+                        ph["cpu_solve_ms"] = cpu_ph[1]
+                        if d.get("solve_dofs_per_sec"):
+                            ph["solve_vs_baseline"] = round(
+                                d["solve_dofs_per_sec"]
+                                / (ndof_c / (cpu_ph[1] * 1e-3)), 3
+                            )
+                _emit("upgrade (measured mirror)")
+
+    # bf16 mixed-precision variant (opt-in; measured-and-retired round 3)
+    if (
+        os.environ.get("BENCH_BF16", "0") == "1"
+        and fmt == "stencil"
+        and "note" not in d
+        and _left() > 200
+    ):
+        d_bf = _run_child("--tpu-child-bf16", n_used,
+                          min(420, max(120, _left() - 60)))
+        if d_bf is not None and (
+            abs(d_bf["umax"] - umax_tpu_val) / max(abs(umax_tpu_val), 1e-30)
+            > 1e-3
+        ):
+            sys.stderr.write(
+                "bf16 variant failed the u_max check; not recorded\n"
+            )
+            d_bf = None
+        if d_bf is not None:
+            _RESULT["detail"]["bf16"] = {
+                "dofs_per_sec": round(d_bf["ndof"] / d_bf["dt"], 1),
+                "speedup_vs_f32": round(
+                    (d_bf["ndof"] / d_bf["dt"]) / tpu_dofs_per_sec, 3
+                ),
+                # same-solution check: u_max agreement with the f32 run
+                "umax_rel_diff_vs_f32": round(
+                    abs(d_bf["umax"] - umax_tpu_val)
+                    / max(abs(umax_tpu_val), 1e-30),
+                    9,
+                ),
+                "tpu": d_bf,
+            }
+            _emit("bf16")
+
+    _emit("final")
 
 
 if __name__ == "__main__":

@@ -48,13 +48,15 @@ class HostCSR(NamedTuple):
         prod = self.data * x[self.indices]
         if not len(prod):
             return np.zeros(self.shape[0], dtype=np.result_type(self.data, x))
-        # segment-sum by reduceat over row starts (empty rows: reduceat
-        # duplicates the next segment's sum there — zero them after)
+        # segment-sum by reduceat over NONEMPTY row starts only: every such
+        # start is strictly < nnz, and the last segment correctly extends
+        # to nnz (reduceat over all starts mis-handled a trailing run of
+        # empty rows — the clamp moved the final nonempty row's boundary
+        # and truncated its sum; ADVICE r4)
         starts = self.indptr[:-1]
         out = np.zeros(self.shape[0], dtype=prod.dtype)
         valid = np.diff(self.indptr) > 0
-        sums = np.add.reduceat(prod, np.minimum(starts, len(prod) - 1))
-        out[valid] = sums[valid]
+        out[valid] = np.add.reduceat(prod, starts[valid])
         return out
 
     def toarray(self):

@@ -1124,7 +1124,7 @@ class LatticeHaloVectorSolver:
             pmasks.append(pm)
         return frees, pmasks
 
-    def _trunc_level_fields(self, dtype):
+    def _trunc_level_fields(self):
         """Per-level truncated tap FIELDS (slabbed) + inverse-center
         fields for free-surface lattices: tap(v, oi) = sum of constant
         element blocks over EXISTING adjacent cubes (separable masks —
@@ -1460,7 +1460,7 @@ class LatticeHaloVectorSolver:
             )
             trunc_args = ((), ())
             if truncated:
-                tapsf, invcf = self._trunc_level_fields(dtype)
+                tapsf, invcf = self._trunc_level_fields()
                 trunc_args = (
                     tuple(jnp.asarray(t, dtype=dtype) for t in tapsf),
                     tuple(jnp.asarray(c, dtype=dtype) for c in invcf),

@@ -1153,14 +1153,7 @@ class CoupledNavierStokesSolver(SolverBase):
         M1 = AMGPreconditioner(A1c.to_scipy(), nullspace=B1, free_mask=fm1)
         ev = jnp.asarray(np.asarray(mesh.edges()))
         nnode2 = fm.reshape(-1, d).shape[0]
-        l1 = jnp.asarray(
-            np.maximum(
-                np.asarray(np.abs(A2c.to_scipy()).sum(axis=1)).ravel(),
-                1e-300,
-            )
-        )
         fmj = jnp.asarray(fm.astype(float))
-        lam = 2.0  # Gershgorin bound for the l1-scaled operator
 
         def prolong(x1):
             x1n = x1.reshape(nv, d)
@@ -1173,6 +1166,21 @@ class CoupledNavierStokesSolver(SolverBase):
             r1 = r1.at[ev[:, 0]].add(0.5 * r2n[nv:])
             r1 = r1.at[ev[:, 1]].add(0.5 * r2n[nv:])
             return r1.reshape(-1)
+
+        return self._pmg_cycle(A2c, fmj, M1, prolong, restrict)
+
+    def _pmg_cycle(self, A2c, fmj, M1, prolong, restrict):
+        """Shared p-multigrid V-cycle body: l1-Chebyshev(3) smoothing on
+        the fine operator ``A2c``, one coarse correction through ``M1``
+        via the given transfer pair.  Used by both the CG P2->P1 cycle
+        above and the DG_k->CG P1 cycle (navier_stokes_dg._build_pmg)."""
+        l1 = jnp.asarray(
+            np.maximum(
+                np.asarray(np.abs(A2c.to_scipy()).sum(axis=1)).ravel(),
+                1e-300,
+            )
+        )
+        lam = 2.0  # Gershgorin bound for the l1-scaled operator
 
         def smooth(x, r_now, deg=3, lmin_ratio=0.25):
             lmin = lmin_ratio * lam

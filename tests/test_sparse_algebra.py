@@ -76,6 +76,23 @@ def test_matvec_and_diagonal():
     assert np.allclose(H.diagonal(), A.tocsr().diagonal())
 
 
+def test_matvec_trailing_empty_rows():
+    """reduceat regression (ADVICE r4): a trailing run of empty rows must
+    not truncate the LAST nonempty row's segment sum."""
+    A = sp.csr_matrix(
+        np.array([[1.0, 2.0, 3.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    )
+    H = from_scipy(A)
+    assert np.allclose(H.matvec(np.ones(3)), [6.0, 0.0, 0.0])
+    # empty leading + interior rows for good measure
+    B = sp.csr_matrix(
+        np.array([[0.0, 0.0], [5.0, 7.0], [0.0, 0.0], [2.0, 0.0], [0.0, 0.0]])
+    )
+    Hb = from_scipy(B)
+    x = np.array([1.0, 2.0])
+    assert np.allclose(Hb.matvec(x), B @ x)
+
+
 def test_amg_builds_without_scipy(monkeypatch):
     """The whole AMG hierarchy must build with scipy imports DISABLED
     once the input matrix is in HostCSR form."""
