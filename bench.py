@@ -39,8 +39,10 @@ round-4 run measured a ~100M dofs/s headline and then lost it to a
 driver kill because the single print sat at the very end): the full
 record is printed immediately after the primary measurement with a
 cached CPU mirror, re-printed once the same-size mirror is measured,
-and re-printed after each optional pass (elasticity / unstructured /
-profile / upgrade) lands.  The driver keeps the LAST parseable line, so
+and re-printed after each optional pass lands — in RECORD-VALUE order
+(upgrade-to-2.1M first, then profile, unstructured, elasticity), so a
+deadline or kill costs the least-valuable tail, never the headline.
+The driver keeps the LAST parseable line, so
 every re-print strictly enriches the record.  A SIGTERM/SIGINT handler
 flushes the best-so-far record before dying, and one global deadline
 (BENCH_DEADLINE, default 1500 s) gates every optional pass.
@@ -102,6 +104,26 @@ def _install_flush_handlers():
             signal.signal(s, h)
         except (ValueError, OSError):
             pass
+
+
+def _timed_best_of(steps_fn, reps):
+    """BEST-OF-K timed dispatches (min over K, default 3), each running
+    ``reps`` seed-distinct solves inside one dispatch: the ~26 ms tunnel
+    round-trip amortizes 1/reps and the min rejects cross-tenant noise on
+    the shared chip (measured 11.5 vs 15.9 ms/rep for the SAME binary on
+    different days).  Marginal cost ~K dispatch walls.  Seeds stay
+    distinct across dispatches (executor input-dedup trap, CLAUDE.md).
+
+    Returns (dt_per_rep, umax, its_dev, rs_dev) from the fastest dispatch."""
+    best = None
+    for k in range(int(os.environ.get("BENCH_TIMED_DISPATCHES", "3"))):
+        t0 = time.perf_counter()
+        umaxes, its, rs = steps_fn(np.float32((k + 1) * reps))
+        u_last = float(np.asarray(umaxes)[-1])  # host fetch forces sync
+        dt_k = (time.perf_counter() - t0) / reps
+        if best is None or dt_k < best[0]:
+            best = (dt_k, u_last, its, rs)
+    return best
 
 
 # same-size same-algorithm CPU mirror measured in round 3
@@ -669,7 +691,10 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
         coef, b3 = assemble(JinvT, detJ)
         return solve_one(coef, b3)
 
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    # 16 reps/dispatch: tunnel round-trip (~26 ms) amortizes to
+    # ~1.6 ms/rep instead of 6.5 at the former 4 (dispatch wall at
+    # n=128 stays ~0.4 s)
+    reps = int(os.environ.get("BENCH_REPS", "16"))
 
     @jax.jit
     def steps(seed):
@@ -755,10 +780,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
         f"compile+warm ({reps} solves) {time.perf_counter() - t_c:.1f}s "
         f"(iters={iters}, res={res:.2e})"
     )
-    t0 = time.perf_counter()
-    umaxes, its, rs = steps(np.float32(reps))
-    umax = float(np.asarray(umaxes)[-1])  # host fetch forces completion
-    dt = (time.perf_counter() - t0) / reps
+    dt, umax, its, rs = _timed_best_of(steps, reps)
     # --- phase split (warm each, then time; device-resident coef/b3) ---
     assembly_ms = solve_ms = None
     if os.environ.get("BENCH_PHASES", "1") == "1":
@@ -1413,7 +1435,10 @@ def tpu_run_elasticity(n, tol, maxiter):
         res = jnp.sqrt(dot(r, r)) / bnorm
         return x, iters, res
 
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    # 16 reps/dispatch: tunnel round-trip (~26 ms) amortizes to
+    # ~1.6 ms/rep instead of 6.5 at the former 4 (dispatch wall at
+    # n=128 stays ~0.4 s)
+    reps = int(os.environ.get("BENCH_REPS", "16"))
 
     @jax.jit
     def steps(seed):
@@ -1443,10 +1468,7 @@ def tpu_run_elasticity(n, tol, maxiter):
          f"{time.perf_counter() - t_c:.1f}s "
          f"(iters={int(np.asarray(its)[-1])}, "
          f"res={float(np.asarray(rs)[-1]):.2e})")
-    t0 = time.perf_counter()
-    umaxes, its, rs = steps(np.float32(reps))
-    umax = float(np.asarray(umaxes)[-1])  # host fetch forces completion
-    dt = (time.perf_counter() - t0) / reps
+    dt, umax, its, rs = _timed_best_of(steps, reps)
     x_like = np.array([umax], dtype=np.float32)
     return (ndof, dt, int(np.asarray(its)[-1]), float(np.asarray(rs)[-1]),
             x_like, setup_s)
@@ -1862,7 +1884,7 @@ def main():
                     "own dispatch/materialization overhead so they sum to "
                     "MORE than the end-to-end headline dt, which fuses "
                     "both (assembly+solve, the BASELINE.json metric)"
-                    % os.environ.get("BENCH_REPS", "4")
+                    % os.environ.get("BENCH_REPS", "16")
                 ),
                 "tpu_assembly_ms": dd["assembly_ms"],
                 "tpu_solve_ms": dd["solve_ms"],
@@ -1929,6 +1951,108 @@ def main():
 
     # ---- optional passes: each gated on the global deadline, each
     # re-emitting the enriched record as soon as it lands ----
+
+    # optional UPGRADE pass: with the >= 1M record already emitted, try
+    # the 2.1M-dof size; on success it replaces the headline (cached
+    # same-size round-3 mirror first, freshly measured mirror if time
+    # still permits), on timeout the emitted records are untouched
+    n_up = int(os.environ.get("BENCH_N_UPGRADE", "128"))
+    if (
+        os.environ.get("BENCH_UPGRADE", "1") == "1"
+        and fmt == "stencil"
+        and "note" not in d
+        and n_up > n_used
+        and _left() > 240
+    ):
+        d_up = _run_child("--tpu-child", n_up,
+                          min(480, max(120, _left() - 60)))
+        if d_up is not None:
+            detail_prev = _RESULT["detail"]
+            cm_up = _CACHED_CPU_MIRROR.get(n_up)
+            if cm_up is not None:
+                mirror_up = dict(cm_up)
+                mirror_up["mirror"] = "cached(round3, same size+algorithm)"
+                vs_up = (d_up["ndof"] / d_up["dt"]) / (
+                    cm_up["ndof"] / cm_up["wall_s"]
+                )
+            else:
+                mirror_up, vs_up = mirror, (d_up["ndof"] / d_up["dt"]) / (
+                    ndof_c / dt_c
+                )
+            new = _headline(d_up, mirror_up, vs_up)
+            # carry the already-landed extras forward
+            for key in ("unstructured", "elasticity3d", "profile", "bf16"):
+                if key in detail_prev:
+                    new["detail"][key] = detail_prev[key]
+            new["detail"]["upgrade_pass"] = "landed n=%d" % n_up
+            new["detail"]["previous_headline"] = {
+                "ndof": ndof, "dofs_per_sec": round(tpu_dofs_per_sec, 1),
+            }
+            _RESULT = new
+            d, n_used = d_up, n_up
+            umax_tpu_val = d["umax"]
+            tpu_dofs_per_sec = d["ndof"] / d["dt"]
+            _emit("upgrade (cached mirror)")
+            if _left() > 150:
+                ndof_c, dt_c, iters_c, x_c = cpu_run(n_up, tol, maxiter=3000)
+                _RESULT["detail"]["cpu_scipy_gmg"] = {
+                    "ndof": ndof_c,
+                    "wall_s": round(dt_c, 4),
+                    "pcg_iters": iters_c,
+                    "u_max": float(np.max(x_c)),
+                }
+                _RESULT["vs_baseline"] = round(
+                    tpu_dofs_per_sec / (ndof_c / dt_c), 3
+                )
+                cpu_ph = getattr(cpu_run, "last_phases", None)
+                if d.get("assembly_ms") is not None and cpu_ph is not None:
+                    ph = _RESULT["detail"].get("phases")
+                    if ph is not None:
+                        ph["cpu_assembly_ms"] = cpu_ph[0]
+                        ph["cpu_solve_ms"] = cpu_ph[1]
+                        if d.get("solve_dofs_per_sec"):
+                            ph["solve_vs_baseline"] = round(
+                                d["solve_dofs_per_sec"]
+                                / (ndof_c / (cpu_ph[1] * 1e-3)), 3
+                            )
+                _emit("upgrade (measured mirror)")
+
+    # per-phase PROFILE of the headline solve (VERDICT r4 item 8): the
+    # slope-method decomposition (matvec / V-cycle / dot per-apply costs +
+    # the dispatch constant) — the driver-visible roofline evidence
+    if (
+        os.environ.get("BENCH_PROFILE", "1") == "1"
+        and fmt == "stencil"
+        and tunnel_ok
+        and _left() > 180
+    ):
+        import subprocess
+
+        try:
+            pr = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "bench_profile.py",
+                    ),
+                ],
+                capture_output=True,
+                timeout=min(420, max(120, _left() - 60)),
+                text=True,
+                env={**os.environ, "PROF_N": str(n_used or 104)},
+            )
+            profile = None
+            for line in pr.stdout.splitlines():
+                if line.startswith("{"):
+                    profile = json.loads(line)
+            if profile is not None:
+                _RESULT["detail"]["profile"] = profile
+                _emit("profile")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("bench profile child timed out\n")
+        except Exception as e:  # profile is evidence, never a blocker
+            sys.stderr.write(f"bench profile child failed: {e}\n")
 
     # UNSTRUCTURED record (VERDICT r3 item 5 / r4 item 5): the generic
     # gather/segment-sum + SA-AMG path on a >= 1M-dof perturbed tet mesh
@@ -2027,108 +2151,6 @@ def main():
                     "vs_baseline compares dofs/s across sizes"
                 )
             _emit("elasticity")
-
-    # per-phase PROFILE of the headline solve (VERDICT r4 item 8): the
-    # slope-method decomposition (matvec / V-cycle / dot per-apply costs +
-    # the dispatch constant) — the driver-visible roofline evidence
-    if (
-        os.environ.get("BENCH_PROFILE", "1") == "1"
-        and fmt == "stencil"
-        and tunnel_ok
-        and _left() > 180
-    ):
-        import subprocess
-
-        try:
-            pr = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "bench_profile.py",
-                    ),
-                ],
-                capture_output=True,
-                timeout=min(420, max(120, _left() - 60)),
-                text=True,
-                env={**os.environ, "PROF_N": str(n_used or 104)},
-            )
-            profile = None
-            for line in pr.stdout.splitlines():
-                if line.startswith("{"):
-                    profile = json.loads(line)
-            if profile is not None:
-                _RESULT["detail"]["profile"] = profile
-                _emit("profile")
-        except subprocess.TimeoutExpired:
-            sys.stderr.write("bench profile child timed out\n")
-        except Exception as e:  # profile is evidence, never a blocker
-            sys.stderr.write(f"bench profile child failed: {e}\n")
-
-    # optional UPGRADE pass: with the >= 1M record already emitted, try
-    # the 2.1M-dof size; on success it replaces the headline (cached
-    # same-size round-3 mirror first, freshly measured mirror if time
-    # still permits), on timeout the emitted records are untouched
-    n_up = int(os.environ.get("BENCH_N_UPGRADE", "128"))
-    if (
-        os.environ.get("BENCH_UPGRADE", "1") == "1"
-        and fmt == "stencil"
-        and "note" not in d
-        and n_up > n_used
-        and _left() > 240
-    ):
-        d_up = _run_child("--tpu-child", n_up,
-                          min(480, max(120, _left() - 60)))
-        if d_up is not None:
-            detail_prev = _RESULT["detail"]
-            cm_up = _CACHED_CPU_MIRROR.get(n_up)
-            if cm_up is not None:
-                mirror_up = dict(cm_up)
-                mirror_up["mirror"] = "cached(round3, same size+algorithm)"
-                vs_up = (d_up["ndof"] / d_up["dt"]) / (
-                    cm_up["ndof"] / cm_up["wall_s"]
-                )
-            else:
-                mirror_up, vs_up = mirror, (d_up["ndof"] / d_up["dt"]) / (
-                    ndof_c / dt_c
-                )
-            new = _headline(d_up, mirror_up, vs_up)
-            # carry the already-landed extras forward
-            for key in ("unstructured", "elasticity3d", "profile", "bf16"):
-                if key in detail_prev:
-                    new["detail"][key] = detail_prev[key]
-            new["detail"]["upgrade_pass"] = "landed n=%d" % n_up
-            new["detail"]["previous_headline"] = {
-                "ndof": ndof, "dofs_per_sec": round(tpu_dofs_per_sec, 1),
-            }
-            _RESULT = new
-            d, n_used = d_up, n_up
-            umax_tpu_val = d["umax"]
-            tpu_dofs_per_sec = d["ndof"] / d["dt"]
-            _emit("upgrade (cached mirror)")
-            if _left() > 150:
-                ndof_c, dt_c, iters_c, x_c = cpu_run(n_up, tol, maxiter=3000)
-                _RESULT["detail"]["cpu_scipy_gmg"] = {
-                    "ndof": ndof_c,
-                    "wall_s": round(dt_c, 4),
-                    "pcg_iters": iters_c,
-                    "u_max": float(np.max(x_c)),
-                }
-                _RESULT["vs_baseline"] = round(
-                    tpu_dofs_per_sec / (ndof_c / dt_c), 3
-                )
-                cpu_ph = getattr(cpu_run, "last_phases", None)
-                if d.get("assembly_ms") is not None and cpu_ph is not None:
-                    ph = _RESULT["detail"].get("phases")
-                    if ph is not None:
-                        ph["cpu_assembly_ms"] = cpu_ph[0]
-                        ph["cpu_solve_ms"] = cpu_ph[1]
-                        if d.get("solve_dofs_per_sec"):
-                            ph["solve_vs_baseline"] = round(
-                                d["solve_dofs_per_sec"]
-                                / (ndof_c / (cpu_ph[1] * 1e-3)), 3
-                            )
-                _emit("upgrade (measured mirror)")
 
     # bf16 mixed-precision variant (opt-in; measured-and-retired round 3)
     if (

@@ -150,16 +150,23 @@ def perturbed_tet_box(nx, ny=None, nz=None, extent=(1.0, 1.0, 1.0),
     disp = (rng.random(coords.shape) - 0.5) * 2.0 * amplitude * h
     disp[~interior] = 0.0
 
-    def min_det(c):
+    def signed_det(c):
         p = c[cells_arr]
         J = np.stack([p[:, i + 1] - p[:, 0] for i in range(3)], axis=1)
-        return np.linalg.det(J), J
+        return np.linalg.det(J)
 
+    # validity = each tet keeps its UNPERTURBED orientation (the Kuhn
+    # subdivision is mixed-orientation by construction — exactly half the
+    # tets have negative signed volume — so testing det>0 marked every
+    # cell bad forever: 20 futile halvings erased the perturbation AND
+    # burned ~1 s/iteration at bench sizes)
+    sign0 = np.sign(signed_det(coords))
+    thresh = 1e-12 * float(np.prod(h))
     for _ in range(20):
-        det, _ = min_det(coords + disp)
-        if det.min() > 1e-12 * float(np.prod(h)):
+        det = signed_det(coords + disp) * sign0
+        if det.min() > thresh:
             break
-        bad = np.unique(cells_arr[det <= 1e-12 * float(np.prod(h))].ravel())
+        bad = np.unique(cells_arr[det <= thresh].ravel())
         disp[bad] *= 0.5
     coords = coords + disp
     if permute:

@@ -119,11 +119,30 @@ def sp_transpose(A: HostCSR):
 
 
 def sp_matmat(A: HostCSR, B: HostCSR):
-    """C = A @ B: expand every A entry against its B row with an EXACT
+    """C = A @ B.
+
+    Native path: Gustavson row-merge in C++ (``native.csr_spgemm`` —
+    each product term touched once, dense accumulator per row; the PETSc
+    MatMatMult analog).  Measured ~60x over the numpy formulation on the
+    1M-dof SA-AMG setup, which turns the AMG hierarchy build from the
+    dominant setup cost into noise.
+
+    Numpy fallback: expand every A entry against its B row with an EXACT
     ragged gather (one ``repeat``-based take — total work is the true
     pre-reduction product size, not nnzA x max-B-degree: a single dense-ish
     B row no longer inflates the whole expansion), then one sort-reduce."""
     assert A.shape[1] == B.shape[0], (A.shape, B.shape)
+    if A.nnz and B.nnz:
+        from .. import native
+
+        nat = native.csr_spgemm(
+            A.shape[0], B.shape[1],
+            A.indptr, A.indices, A.data,
+            B.indptr, B.indices, B.data,
+        )
+        if nat is not None:
+            Cp, Ci, Cx = nat
+            return HostCSR(Cp, Ci, Cx, (A.shape[0], B.shape[1]))
     degB = np.diff(B.indptr)
     if A.nnz == 0 or B.nnz == 0:
         return HostCSR(

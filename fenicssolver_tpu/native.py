@@ -49,6 +49,12 @@ def _load():
         lib.build_ell.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p]
         lib.aggregate.restype = ctypes.c_int64
         lib.aggregate.argtypes = [i32p, i32p, ctypes.c_int64, i64p]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.csr_spgemm.restype = ctypes.c_int64
+        lib.csr_spgemm.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, f64p, i64p, i64p, f64p, i64p, i64p, f64p,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -148,6 +154,37 @@ def aggregate(indptr, indices, n):
         _ptr(agg, ctypes.c_int64),
     )
     return agg, int(n_agg)
+
+
+def csr_spgemm(m, n, Ap, Ai, Ax, Bp, Bi, Bx):
+    """C = A(m x k) @ B(k x n) on host CSR (int64 indptr/indices, f64 data)
+    via native Gustavson row-merge; returns (indptr, indices, data) with
+    sorted columns, or None when the native library is unavailable (the
+    caller falls back to la/sparse_algebra's sort-reduce formulation)."""
+    lib = _load()
+    if lib is None:
+        return None
+    c_i64, c_f64 = ctypes.c_int64, ctypes.c_double
+    Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+    Ai = np.ascontiguousarray(Ai, dtype=np.int64)
+    Ax = np.ascontiguousarray(Ax, dtype=np.float64)
+    Bp = np.ascontiguousarray(Bp, dtype=np.int64)
+    Bi = np.ascontiguousarray(Bi, dtype=np.int64)
+    Bx = np.ascontiguousarray(Bx, dtype=np.float64)
+    nnz = lib.csr_spgemm(
+        m, n, _ptr(Ap, c_i64), _ptr(Ai, c_i64), _ptr(Ax, c_f64),
+        _ptr(Bp, c_i64), _ptr(Bi, c_i64), _ptr(Bx, c_f64),
+        None, None, None,
+    )
+    Cp = np.empty(m + 1, dtype=np.int64)
+    Ci = np.empty(nnz, dtype=np.int64)
+    Cx = np.empty(nnz, dtype=np.float64)
+    lib.csr_spgemm(
+        m, n, _ptr(Ap, c_i64), _ptr(Ai, c_i64), _ptr(Ax, c_f64),
+        _ptr(Bp, c_i64), _ptr(Bi, c_i64), _ptr(Bx, c_f64),
+        _ptr(Cp, c_i64), _ptr(Ci, c_i64), _ptr(Cx, c_f64),
+    )
+    return Cp, Ci, Cx
 
 
 def build_ell(indptr, indices, ndof):
