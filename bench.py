@@ -126,13 +126,37 @@ def _timed_best_of(steps_fn, reps):
     return best
 
 
+def _parse_n3(v):
+    """Lattice size spec -> (nx, ny, nz): int or "NX" = cube, "AxBxC" =
+    box.  Non-cubic boxes exist for TPU tiling: only the TRAILING two
+    array dims pad to the (8, 128) VREG grid, so (224,112,112) keeps the
+    n=104 cube's 1.2x padding efficiency at 2.9M dofs while N=129 cubes
+    pad the 128-lane dim to 256 (measured 2.6x slower per dof)."""
+    if isinstance(v, (tuple, list)):
+        t = tuple(int(x) for x in v)
+    else:
+        s = str(v)
+        t = tuple(int(x) for x in s.split("x")) if "x" in s \
+            else (int(s),) * 3
+    assert len(t) == 3, t
+    return t
+
+
+def _n3_str(n3):
+    nx, ny, nz = n3
+    return str(nx) if nx == ny == nz else f"{nx}x{ny}x{nz}"
+
+
 # same-size same-algorithm CPU mirror measured in round 3
 # (BENCH_r03.json, cpu_scipy_gmg at n=128): the provisional vs_baseline
 # anchor printed with the FIRST emission, replaced by a freshly measured
 # same-size mirror as soon as it completes
 _CACHED_CPU_MIRROR = {
-    128: dict(ndof=2146689, wall_s=84.8037, pcg_iters=7,
-              u_max=0.05620760176173512),
+    "128": dict(ndof=2146689, wall_s=84.8037, pcg_iters=7,
+                u_max=0.05620760176173512),
+    # measured on this box 2026-08-20 (round 5), factored assembly:
+    "224x112x112": dict(ndof=2873025, wall_s=21.174, pcg_iters=7,
+                        u_max=0.07173536781970619),
 }
 
 
@@ -375,9 +399,16 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
     )
 
     t_setup0 = time.perf_counter()
-    N = n + 1
-    ndof = N**3
-    ncub = n**3
+    nx, ny, nz = _parse_n3(n)
+    # uniform cell size h = 1/min(n): a cube when nx==ny==nz, otherwise a
+    # [0,Lx]x[0,Ly]x[0,Lz] box of IDENTICAL cubic cells (the factored
+    # stencil tables and the GMG stencils stay exact; only the domain
+    # grows).  Chosen so trailing dims tile the (8,128) VREG grid.
+    h = 1.0 / min(nx, ny, nz)
+    Ls = (nx * h, ny * h, nz * h)
+    NX, NY, NZ = nx + 1, ny + 1, nz + 1
+    ndof = NX * NY * NZ
+    ncub = nx * ny * nz
     # Setup is PURE HOST NUMPY and all device work happens inside the ONE
     # jitted program below.  Under the axon tunnel every eager device op
     # (asarray / broadcast_to / device_put) compiles its own tiny program
@@ -386,15 +417,16 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
     # per-cell geometry arrays are still materialized on device from the 6
     # per-type constants (host->device of the full (3,3,nc) arrays is
     # ~500 MB through the tunnel), just inside the jit.
-    Jinv1, det1 = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
+    Jinv1, det1 = box_tet_geometry(1, 1, 1, extent=(h,) * 3,
                                    dtype=np.float32)  # (6,3,3), (6,)
     Jinv1T = np.ascontiguousarray(np.moveaxis(Jinv1, 0, -1))  # (3,3,6)
     det1 = np.asarray(det1, dtype=np.float32)
-    free3_np = np.zeros((N, N, N), dtype=np.float32)
+    free3_np = np.zeros((NX, NY, NZ), dtype=np.float32)
     free3_np[1:-1, 1:-1, 1:-1] = 1.0
     free3 = free3_np  # numpy: embeds as a constant at trace time
     t_gmg = time.perf_counter()
-    G = gmg.build_gmg(n, n, n, device=False, dtype=np.float32)
+    G = gmg.build_gmg(nx, ny, nz, extent=Ls, device=False,
+                      dtype=np.float32)
     _log(
         f"gmg setup (host) {time.perf_counter() - t_gmg:.1f}s "
         f"(levels={len(G.levels)})"
@@ -438,7 +470,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
     if mode == "factored":
         from fenicssolver_tpu.ops.structured import scalar_stencil_tables
 
-        tabs_f = scalar_stencil_tables(n, n, n)  # unit cube, h = 1/n
+        tabs_f = scalar_stencil_tables(nx, ny, nz, extent=Ls)  # h uniform
         by_oi_f = {}
         for oi, ca, w in tabs_f:
             terms = [(t, np.float32(w[t])) for t in range(6)
@@ -449,9 +481,8 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
 
     def assemble(JinvT, detJ):
         if mode == "factored":
-            s = detJ.reshape(6, n, n, n) * inv_det1[:, None, None, None]
-            detJ6 = detJ.reshape(6, n, n, n)
-            N1 = n + 1
+            s = detJ.reshape(6, nx, ny, nz) * inv_det1[:, None, None, None]
+            detJ6 = detJ.reshape(6, nx, ny, nz)
             coef = jnp.stack(
                 [
                     sum(
@@ -463,7 +494,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
                     if oi in by_oi_f
                     # corner-diagonal taps cancel identically on the Kuhn
                     # lattice (w == 0 for every tet type)
-                    else jnp.zeros((N1, N1, N1), dtype=detJ.dtype)
+                    else jnp.zeros((NX, NY, NZ), dtype=detJ.dtype)
                     for oi in range(len(OFFSETS_T))
                 ]
             )
@@ -479,13 +510,13 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
             )
 
             Ae = p1_stiffness_sym_kernel(JinvT, detJ)  # (10, nc) packed
-            Ae6 = Ae.reshape(10, 6, n, n, n)
+            Ae6 = Ae.reshape(10, 6, nx, ny, nz)
             pick = lambda si, ab, t: Ae6[si, t]
         elif mode == "pallas":
             from fenicssolver_tpu.ops.pallas_kernels import p1_stiffness_kernel
 
             Ae = p1_stiffness_kernel(JinvT, detJ, gref_dev)  # (4,4,nc)
-            Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+            Ae6 = Ae.reshape(4, 4, 6, nx, ny, nz)
             pick = lambda si, ab, t: Ae6[ab[0], ab[1], t]
         else:
             g = [
@@ -508,9 +539,9 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
                     for a in range(4)
                 ]
             )
-            Ae6 = Ae.reshape(4, 4, 6, n, n, n)
+            Ae6 = Ae.reshape(4, 4, 6, nx, ny, nz)
             pick = lambda si, ab, t: Ae6[ab[0], ab[1], t]
-        detJ6 = detJ.reshape(6, n, n, n)
+        detJ6 = detJ.reshape(6, nx, ny, nz)
         coef = jnp.stack(
             [
                 sum(
@@ -596,7 +627,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
             p = z + (rz_new / rz) * p
             return (x, r, z, p, rz_new, i + 1)
 
-        x0 = jnp.zeros((N, N, N), dtype=jnp.float32)
+        x0 = jnp.zeros((NX, NY, NZ), dtype=jnp.float32)
         x, r, *_, iters = jax.lax.while_loop(
             cond, body, (x0, r, z, p, rz, jnp.array(0))
         )
@@ -649,7 +680,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
                 beta = (rz_new / rz).astype(bf)
                 return (x, r, z, p * beta + z, rz_new)
 
-            x0 = jnp.zeros((N, N, N), dtype=bf)
+            x0 = jnp.zeros((NX, NY, NZ), dtype=bf)
             x, *_ = jax.lax.fori_loop(
                 0, inner_iters, body, (x0, r, z, p, rz)
             )
@@ -677,7 +708,7 @@ def tpu_run_stencil(n, tol, maxiter, bf16=False):
             r = rhs - matvec_f32(x)
             return (x, r, rn, passes + 1)
 
-        x0 = jnp.zeros((N, N, N), dtype=f32)
+        x0 = jnp.zeros((NX, NY, NZ), dtype=f32)
         x, r, _, passes = jax.lax.while_loop(
             cond, body, (x0, rhs, jnp.asarray(jnp.inf, f32), jnp.array(0))
         )
@@ -825,8 +856,10 @@ class _NumpyGMG:
         self.OFFSETS = [tuple(int(v) for v in o) for o in OFFSETS]
         self.CENTER = CENTER_IDX
         self.omega, self.nu = omega, nu
-        nn = np.array([n, n, n])
-        h = 1.0 / nn
+        nn = np.array(_parse_n3(n))
+        # uniform h = 1/min(n) (box of identical cubic cells; mirrors
+        # tpu_run_stencil)
+        h = np.full(3, 1.0 / nn.min())
         free3 = np.zeros(tuple(nn + 1), dtype=bool)
         free3[1:-1, 1:-1, 1:-1] = True
         self.levels = []
@@ -847,7 +880,7 @@ class _NumpyGMG:
         # masked inverse (mirrors la/gmg.py): identity rows would return
         # constrained-row residual at unit scale
         self.coarse_inv = fr[:, None] * np.linalg.inv(D) * fr[None, :]
-        self.shape3 = ((n + 1),) * 3
+        self.shape3 = tuple(int(v) + 1 for v in _parse_n3(n))
 
     def _shift(self, x, d):
         out = np.zeros_like(x)
@@ -1603,47 +1636,52 @@ def cpu_baseline_stencil(n, tol, maxiter):
         stencil_entry_table,
     )
 
-    N = n + 1
-    ndof = N**3
+    nx, ny, nz = _parse_n3(n)
+    h = 1.0 / min(nx, ny, nz)
+    Ls = (nx * h, ny * h, nz * h)
+    NX, NY, NZ = nx + 1, ny + 1, nz + 1
+    ndof = NX * NY * NZ
     factored = os.environ.get("BENCH_ASSEMBLY", "factored") == "factored"
     t0 = time.perf_counter()
-    Jinv, detJ = box_tet_geometry(n, n, n, dtype=np.float64)
+    Jinv, detJ = box_tet_geometry(nx, ny, nz, extent=Ls, dtype=np.float64)
     if not factored:
         gref = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
         g = np.einsum("kt,ctg->ckg", gref, Jinv)  # (nc,4,3)
         Ae = np.einsum("cig,cjg,c->ijc", g, g, detJ / 6.0)  # (4,4,nc)
-        Ae6 = Ae.reshape(4, 4, 6, n, n, n)
-    detJ6 = detJ.reshape(6, n, n, n)
+        Ae6 = Ae.reshape(4, 4, 6, nx, ny, nz)
+    detJ6 = detJ.reshape(6, nx, ny, nz)
     t_m0 = time.perf_counter()
     M = _NumpyGMG(n)  # preconditioner SETUP (mirrors the TPU side's
     # host gmg build, which sits in setup_s outside the timed phases)
     t_asm0 = time.perf_counter()
     OFF = M.OFFSETS
-    coef = np.zeros((len(OFF), N, N, N))
+    coef = np.zeros((len(OFF), NX, NY, NZ))
     if factored:
         # same factored algorithm as the TPU side (BENCH_ASSEMBLY default)
         from fenicssolver_tpu.ops.structured import scalar_stencil_tables
 
-        _, det_t = box_tet_geometry(1, 1, 1, extent=(1.0 / n,) * 3,
+        _, det_t = box_tet_geometry(1, 1, 1, extent=(h,) * 3,
                                     dtype=np.float64)
         s6 = detJ6 / det_t[:, None, None, None]
-        for oi, ca, w in scalar_stencil_tables(n, n, n):
+        for oi, ca, w in scalar_stencil_tables(nx, ny, nz, extent=Ls):
             blk = sum(w[t] * s6[t] for t in range(6) if abs(w[t]) > 1e-14)
             coef[
-                oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
+                oi, ca[0] : ca[0] + nx, ca[1] : ca[1] + ny,
+                ca[2] : ca[2] + nz
             ] += blk
     else:
         for t, a, b, oi, ca in stencil_entry_table():
             coef[
-                oi, ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n
+                oi, ca[0] : ca[0] + nx, ca[1] : ca[1] + ny,
+                ca[2] : ca[2] + nz
             ] += Ae6[a, b, t]
-    b3 = np.zeros((N, N, N))
+    b3 = np.zeros((NX, NY, NZ))
     for t, path in enumerate(TET_PATHS):
         for ca in path:
-            b3[ca[0] : ca[0] + n, ca[1] : ca[1] + n, ca[2] : ca[2] + n] += (
-                detJ6[t] / 24.0
-            )
-    free3 = np.zeros((N, N, N))
+            b3[
+                ca[0] : ca[0] + nx, ca[1] : ca[1] + ny, ca[2] : ca[2] + nz
+            ] += detJ6[t] / 24.0
+    free3 = np.zeros((NX, NY, NZ))
     free3[1:-1, 1:-1, 1:-1] = 1.0
 
     def apply3(x3):
@@ -1654,7 +1692,7 @@ def cpu_baseline_stencil(n, tol, maxiter):
         return y
 
     def matvec(x):
-        x3 = x.reshape(N, N, N)
+        x3 = x.reshape(NX, NY, NZ)
         y = free3 * apply3(free3 * x3) + (1 - free3) * x3
         return y.ravel()
 
@@ -1708,7 +1746,8 @@ def _run_child(arg, n, timeout_s):
 
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), arg, str(n)],
+            [sys.executable, os.path.abspath(__file__), arg,
+             _n3_str(n) if isinstance(n, (tuple, list)) else str(n)],
             capture_output=True,
             timeout=timeout_s,
             text=True,
@@ -1769,10 +1808,12 @@ def _run_elas_child(n, tol, timeout_s=480):
 def main():
     tol = 1e-6
     if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child":
-        _child_main(int(sys.argv[2]), tol)
+        _child_main(_parse_n3(sys.argv[2]) if "x" in sys.argv[2]
+                    else int(sys.argv[2]), tol)
         return
     if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child-bf16":
-        _child_main(int(sys.argv[2]), tol, bf16=True)
+        _child_main(_parse_n3(sys.argv[2]) if "x" in sys.argv[2]
+                    else int(sys.argv[2]), tol, bf16=True)
         return
     if len(sys.argv) >= 3 and sys.argv[1] == "--tpu-child-elas":
         n = int(sys.argv[2])
@@ -1910,7 +1951,7 @@ def main():
 
     # ---- FIRST emission: primary + cached mirror (survives any kill
     # from here on; VERDICT r4 item 1) ----
-    cm = _CACHED_CPU_MIRROR.get(128)
+    cm = _CACHED_CPU_MIRROR.get("128")
     if fmt == "stencil" and cm is not None:
         mirror0 = dict(cm)
         mirror0["mirror"] = "cached(round3, n=128, same algorithm)"
@@ -1953,25 +1994,52 @@ def main():
     # re-emitting the enriched record as soon as it lands ----
 
     # optional UPGRADE pass: with the >= 1M record already emitted, try
-    # the 2.1M-dof size; on success it replaces the headline (cached
-    # same-size round-3 mirror first, freshly measured mirror if time
-    # still permits), on timeout the emitted records are untouched
-    n_up = int(os.environ.get("BENCH_N_UPGRADE", "128"))
+    # the ~2.9M-dof size; on success it replaces the headline (cached
+    # same-size mirror first, freshly measured mirror if time still
+    # permits), on timeout the emitted records are untouched.  Default
+    # size (224,112,112): the TRAILING two array dims tile the (8,128)
+    # VREG grid at the n=104 cube's 1.2x padding efficiency — the n=128
+    # cube's N=129 pads the 128-lane dim to 256 and measured 2.6x slower
+    # per dof (79.1M vs 171.7M dofs/s, same day, same protocol).
+    n_up = _parse_n3(os.environ.get("BENCH_N_UPGRADE", "224x112x112"))
+    ndof_up = (n_up[0] + 1) * (n_up[1] + 1) * (n_up[2] + 1)
     if (
         os.environ.get("BENCH_UPGRADE", "1") == "1"
         and fmt == "stencil"
         and "note" not in d
-        and n_up > n_used
+        and ndof_up > ndof
         and _left() > 240
     ):
         d_up = _run_child("--tpu-child", n_up,
-                          min(480, max(120, _left() - 60)))
+                          min(540, max(120, _left() - 60)))
+        if d_up is not None and (
+            # replace the headline only when the larger size holds
+            # >= 100M dofs/s (the scaling target) or beats the primary
+            # outright; otherwise the primary stays and the point lands
+            # as detail
+            d_up["ndof"] / d_up["dt"] < min(100e6, tpu_dofs_per_sec)
+        ):
+            # bigger but materially slower per dof: keep the primary
+            # headline, record the scaling point as detail instead
+            _RESULT["detail"]["scale_point"] = {
+                "what": (
+                    "larger-size scaling sample (did not replace the "
+                    "headline: lower dofs/s than the primary)"
+                ),
+                "tpu": d_up,
+                "dofs_per_sec": round(d_up["ndof"] / d_up["dt"], 1),
+            }
+            _emit("scale point")
+            d_up = None
         if d_up is not None:
             detail_prev = _RESULT["detail"]
-            cm_up = _CACHED_CPU_MIRROR.get(n_up)
+            cm_up = _CACHED_CPU_MIRROR.get(_n3_str(n_up))
             if cm_up is not None:
                 mirror_up = dict(cm_up)
-                mirror_up["mirror"] = "cached(round3, same size+algorithm)"
+                mirror_up["mirror"] = (
+                    "cached(same size+algorithm, measured on this machine "
+                    "in an earlier round)"
+                )
                 vs_up = (d_up["ndof"] / d_up["dt"]) / (
                     cm_up["ndof"] / cm_up["wall_s"]
                 )
@@ -1984,7 +2052,7 @@ def main():
             for key in ("unstructured", "elasticity3d", "profile", "bf16"):
                 if key in detail_prev:
                     new["detail"][key] = detail_prev[key]
-            new["detail"]["upgrade_pass"] = "landed n=%d" % n_up
+            new["detail"]["upgrade_pass"] = "landed n=%s" % _n3_str(n_up)
             new["detail"]["previous_headline"] = {
                 "ndof": ndof, "dofs_per_sec": round(tpu_dofs_per_sec, 1),
             }
@@ -2040,7 +2108,12 @@ def main():
                 capture_output=True,
                 timeout=min(420, max(120, _left() - 60)),
                 text=True,
-                env={**os.environ, "PROF_N": str(n_used or 104)},
+                # profile the PRIMARY (cubic) size: the decomposition
+                # (matvec/V-cycle/dot slopes + dispatch constant) is the
+                # point, and bench_profile's parser is cubic-only
+                env={**os.environ, "PROF_N": str(
+                    n_used if isinstance(n_used, int) else 104
+                )},
             )
             profile = None
             for line in pr.stdout.splitlines():
