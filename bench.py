@@ -40,7 +40,7 @@ driver kill because the single print sat at the very end): the full
 record is printed immediately after the primary measurement with a
 cached CPU mirror, re-printed once the same-size mirror is measured,
 and re-printed after each optional pass lands — in RECORD-VALUE order
-(upgrade-to-2.1M first, then profile, unstructured, elasticity), so a
+(upgrade-to-2.9M first, then unstructured, profile, elasticity), so a
 deadline or kill costs the least-valuable tail, never the headline.
 The driver keeps the LAST parseable line, so
 every re-print strictly enriches the record.  A SIGTERM/SIGINT handler
@@ -2085,48 +2085,6 @@ def main():
                             )
                 _emit("upgrade (measured mirror)")
 
-    # per-phase PROFILE of the headline solve (VERDICT r4 item 8): the
-    # slope-method decomposition (matvec / V-cycle / dot per-apply costs +
-    # the dispatch constant) — the driver-visible roofline evidence
-    if (
-        os.environ.get("BENCH_PROFILE", "1") == "1"
-        and fmt == "stencil"
-        and tunnel_ok
-        and _left() > 180
-    ):
-        import subprocess
-
-        try:
-            pr = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "bench_profile.py",
-                    ),
-                ],
-                capture_output=True,
-                timeout=min(420, max(120, _left() - 60)),
-                text=True,
-                # profile the PRIMARY (cubic) size: the decomposition
-                # (matvec/V-cycle/dot slopes + dispatch constant) is the
-                # point, and bench_profile's parser is cubic-only
-                env={**os.environ, "PROF_N": str(
-                    n_used if isinstance(n_used, int) else 104
-                )},
-            )
-            profile = None
-            for line in pr.stdout.splitlines():
-                if line.startswith("{"):
-                    profile = json.loads(line)
-            if profile is not None:
-                _RESULT["detail"]["profile"] = profile
-                _emit("profile")
-        except subprocess.TimeoutExpired:
-            sys.stderr.write("bench profile child timed out\n")
-        except Exception as e:  # profile is evidence, never a blocker
-            sys.stderr.write(f"bench profile child failed: {e}\n")
-
     # UNSTRUCTURED record (VERDICT r3 item 5 / r4 item 5): the generic
     # gather/segment-sum + SA-AMG path on a >= 1M-dof perturbed tet mesh
     # — the number the reference's actual (gmsh) meshes correspond to
@@ -2179,6 +2137,48 @@ def main():
                 )
             _RESULT["detail"]["unstructured"] = unstr
             _emit("unstructured")
+
+    # per-phase PROFILE of the headline solve (VERDICT r4 item 8): the
+    # slope-method decomposition (matvec / V-cycle / dot per-apply costs +
+    # the dispatch constant) — the driver-visible roofline evidence
+    if (
+        os.environ.get("BENCH_PROFILE", "1") == "1"
+        and fmt == "stencil"
+        and tunnel_ok
+        and _left() > 180
+    ):
+        import subprocess
+
+        try:
+            pr = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "bench_profile.py",
+                    ),
+                ],
+                capture_output=True,
+                timeout=min(420, max(120, _left() - 60)),
+                text=True,
+                # profile the PRIMARY (cubic) size: the decomposition
+                # (matvec/V-cycle/dot slopes + dispatch constant) is the
+                # point, and bench_profile's parser is cubic-only
+                env={**os.environ, "PROF_N": str(
+                    n_used if isinstance(n_used, int) else 104
+                )},
+            )
+            profile = None
+            for line in pr.stdout.splitlines():
+                if line.startswith("{"):
+                    profile = json.loads(line)
+            if profile is not None:
+                _RESULT["detail"]["profile"] = profile
+                _emit("profile")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("bench profile child timed out\n")
+        except Exception as e:  # profile is evidence, never a blocker
+            sys.stderr.write(f"bench profile child failed: {e}\n")
 
     # vector-elasticity variant (ROADMAP perf item 3)
     if (
